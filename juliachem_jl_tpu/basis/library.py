@@ -1,0 +1,103 @@
+"""Basis-set library access.
+
+The reference reads its basis data from HDF5 files keyed
+``element_symbol/basis_name -> {Shell Type, Exponents, Coefficients}``
+(src/basis/JCBasis.jl:104-126, 224-241).  We ship an equivalent JSON library
+(see tools/make_basis_library.py for provenance) plus an even-tempered
+auto-auxiliary generator covering elements/sets without explicit JKFIT data —
+a capability the reference lacks (it hard-requires auxilliary_bsed.h5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+_DATA_PATH = os.path.join(os.path.dirname(__file__), "data", "basis_library.json")
+
+
+@lru_cache(maxsize=1)
+def _library() -> dict:
+    with open(_DATA_PATH) as f:
+        return json.load(f)
+
+
+def available_sets() -> list[str]:
+    return [k for k in _library() if k != "__meta__"]
+
+
+def lookup(element: str, basis_name: str) -> list[dict]:
+    """Return the shell list for (element, basis) or raise KeyError."""
+    lib = _library()
+    for key in (basis_name, basis_name.upper(), basis_name.lower()):
+        if key in lib:
+            entry = lib[key]
+            if element in entry:
+                return entry[element]
+            raise KeyError(
+                f"element {element} not in basis set {basis_name} "
+                f"(have {sorted(entry)})"
+            )
+    raise KeyError(
+        f"basis set {basis_name!r} not in library (have {available_sets()})"
+    )
+
+
+def has(element: str, basis_name: str) -> bool:
+    try:
+        lookup(element, basis_name)
+        return True
+    except KeyError:
+        return False
+
+
+def autoaux(orbital_shells: list[dict], beta: float = 2.0) -> list[dict]:
+    """Generate an even-tempered auxiliary set from an orbital basis.
+
+    Simplified Stoychev-style AutoAux: for each angular momentum l present in
+    the orbital basis, candidate fitting functions must span exponents
+    [2*a_min(l'), 2*a_max(l')] for product momenta l = l'+l''; we build an
+    even-tempered ladder with ratio ``beta`` covering [2*a_min, 2*a_max] for
+    each l up to 2*l_max_valence, capped at l_max+1.
+
+    This is a fallback for (element, aux-basis) pairs missing from the
+    library; the DF parity tolerance (1.5e-3 Eh, test/runtests.jl:63) is loose
+    enough for an even-tempered fit.
+    """
+    from .structs import MAX_AM
+
+    by_l: dict[int, list[float]] = {}
+    LMAP = {"S": 0, "P": 1, "D": 2, "F": 3, "G": 4, "L": 1}
+    for shell in orbital_shells:
+        l = LMAP[shell["l"]]
+        exps = [float(e) for e in shell["exps"]]
+        by_l.setdefault(l, []).extend(exps)
+        if shell["l"] == "L":
+            by_l.setdefault(0, []).extend(exps)
+
+    lmax_orb = max(by_l)
+    lmax_aux = min(2 * lmax_orb, MAX_AM)
+    out = []
+    for l in range(lmax_aux + 1):
+        amin, amax = [], []
+        for l1, e1 in by_l.items():
+            for l2, e2 in by_l.items():
+                if l1 + l2 >= l and abs(l1 - l2) <= l:
+                    amin.append(min(e1) + min(e2))
+                    amax.append(max(e1) + max(e2))
+        if not amin:
+            continue
+        lo, hi = min(amin), max(amax)
+        # limit the steep core growth for high l
+        if l >= 2:
+            hi = min(hi, lo * beta ** 10)
+        n = max(1, int(round(__import__("math").log(hi / lo) / __import__("math").log(beta))) + 1)
+        exps = [lo * beta**k for k in range(n)]
+        out.append({"l": "SPDFG"[l] if l > 0 else "S", "exps_list": exps})
+    # expand to uncontracted single-primitive shells
+    shells = []
+    for entry in out:
+        for e in entry["exps_list"]:
+            shells.append({"l": entry["l"], "exps": [e], "coefs": [1.0]})
+    return shells

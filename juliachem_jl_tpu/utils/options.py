@@ -1,0 +1,80 @@
+"""Typed SCF options resolved from keyword dicts.
+
+Parity with reference src/shared/SCFOptions.jl:2-139 (`SCFOptions` struct and
+`create_scf_options`).
+"""
+
+from dataclasses import dataclass, field, asdict
+
+from . import constants as C
+
+
+@dataclass
+class SCFOptions:
+    scf_type: str = C.SCFType.rhf
+    guess: str = C.Guess.default
+    contraction_mode: str = C.ContractionMode.default
+    load: str = C.IntegralLoad.default
+    energy_convergence: float = C.Convergence.energy_delta_change_default
+    density_convergence: float = C.Convergence.density_rms_change_default
+    df_energy_convergence: float = C.Convergence.energy_delta_change_default
+    df_density_convergence: float = C.Convergence.density_rms_change_default
+    max_iterations: int = C.Convergence.max_iterations_default
+    df_max_iterations: int = C.Convergence.df_max_iterations_default
+    df_exchange_n_blocks: int = C.Screening.df_exchange_n_blocks_default
+    df_screening_sigma: float = C.Screening.df_screening_sigma_default
+    df_screen_exchange: bool = C.Screening.df_screen_exchange_default
+    df_force_dense: bool = False
+    df_use_adaptive: bool = True
+    num_devices: int = 1
+    ndiis: int = C.NDIIS_DEFAULT
+    fdiff: bool = C.FDIFF_DEFAULT
+    damp: bool = True
+    debug: bool = False
+
+    def to_dict(self):
+        return asdict(self)
+
+
+def create_scf_options(scf_flags: dict | None) -> SCFOptions:
+    """Keyword-or-default resolution; reference SCFOptions.jl:47-139."""
+    f = dict(scf_flags or {})
+    opts = SCFOptions()
+    opts.scf_type = str(f.get(C.SCFType.key, opts.scf_type)).lower()
+    if opts.scf_type in ("density_fitting", "density fitting"):
+        opts.scf_type = C.SCFType.density_fitting
+    opts.guess = str(f.get(C.Guess.key, opts.guess)).lower()
+    opts.contraction_mode = str(f.get(C.ContractionMode.key, opts.contraction_mode)).lower()
+    if opts.contraction_mode == "default":
+        opts.contraction_mode = C.ContractionMode.default
+    opts.load = str(f.get(C.IntegralLoad.key, opts.load)).lower()
+    opts.energy_convergence = float(f.get(C.Convergence.energy_delta_change, opts.energy_convergence))
+    opts.density_convergence = float(f.get(C.Convergence.density_rms_change, opts.density_convergence))
+    opts.df_energy_convergence = float(
+        f.get(C.Convergence.density_fitting_energy_delta_change, opts.energy_convergence)
+    )
+    opts.df_density_convergence = float(
+        f.get(C.Convergence.density_fitting_density_rms_change, opts.density_convergence)
+    )
+    opts.max_iterations = int(f.get(C.Convergence.max_iterations, opts.max_iterations))
+    opts.df_max_iterations = int(f.get(C.Convergence.df_max_iterations, opts.df_max_iterations))
+    opts.df_exchange_n_blocks = int(f.get(C.Screening.df_exchange_n_blocks, opts.df_exchange_n_blocks))
+    opts.df_screening_sigma = float(f.get(C.Screening.df_screening_sigma, opts.df_screening_sigma))
+    opts.df_screen_exchange = bool(f.get(C.Screening.df_screen_exchange, opts.df_screen_exchange))
+    opts.df_force_dense = bool(f.get(C.DeviceAlgorithms.df_force_dense, opts.df_force_dense))
+    opts.df_use_adaptive = bool(f.get(C.DeviceAlgorithms.df_use_adaptive, opts.df_use_adaptive))
+    opts.num_devices = int(f.get(C.DeviceAlgorithms.num_devices, opts.num_devices))
+    opts.ndiis = int(f.get(C.NDIIS, opts.ndiis))
+    opts.fdiff = bool(f.get(C.FDIFF, opts.fdiff))
+    opts.damp = bool(f.get(C.DAMP, opts.damp))
+    opts.debug = bool(f.get(C.DEBUG, opts.debug))
+    return opts
+
+
+def print_scf_options(opts: SCFOptions, printer=print) -> None:
+    """Reference SCFOptions.jl:141-176."""
+    printer("-" * 40)
+    printer("SCF options:")
+    for k, v in opts.to_dict().items():
+        printer(f"  {k:28s} = {v}")
+    printer("-" * 40)
