@@ -1,0 +1,86 @@
+"""Benchmark: DF-RHF Fock-build throughput on a water cluster.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+System: the first NW waters of the reference's w7.6 benchmark cluster
+(example_inputs/Water/7_6/water_7.6.json, 64 waters) at the same basis
+(6-31+G*), run DF-RHF with cc-pVTZ-JKFIT.  Metric: mean wall time of the
+per-iteration two-electron Fock build (J+K from the fitted B tensor), the
+quantity the reference's per-iteration timings track (JCTC.fock_time).
+
+vs_baseline: the reference's committed w7.6 benchmark converged in 33
+iterations over 2316 s on a 112-thread Skylake node (BASELINE.md), i.e.
+~70.2 s per iteration for 64 waters.  Conventional screened Fock work scales
+~O(n_pairs) ~ O(N^2) in the number of waters at fixed basis, so the scaled
+reference per-iteration time for NW waters is 70.2 * (NW/64)^2.
+vs_baseline = scaled_reference_time / measured_time (>1 means faster than
+the scaled reference).  This cross-algorithm, cross-hardware scaling estimate
+is replaced by a direct same-system comparison once the full w7.6 runs
+on-device (sharded path).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+NW = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+REF_SECONDS_PER_ITER_W64 = 2316.0 / 33.0
+
+
+def main():
+    import jax
+
+    from juliachem_jl_tpu import basis, molecule, io
+    from juliachem_jl_tpu.basis import CalculationBasisSets
+    from juliachem_jl_tpu.models import rhf
+    from juliachem_jl_tpu.utils.timings import JCTC
+
+    spec = io.read_input("/root/reference/example_inputs/Water/7_6/water_7.6.json")
+    symbols = spec.molecule["symbols"][: 3 * NW]
+    geometry = spec.molecule["geometry"][: 9 * NW]
+    mol = molecule.from_input_dict(
+        {"symbols": symbols, "geometry": geometry, "molecular_charge": 0}
+    )
+    bsets = CalculationBasisSets(
+        basis.build(mol, "6-31+G*"),
+        basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", "6-31+G*"),
+    )
+    print(
+        f"# bench: {NW} waters, nbf={bsets.primary.nbf}, naux={bsets.auxiliary.nbf}, "
+        f"device={jax.devices()[0].platform}",
+        file=sys.stderr,
+    )
+
+    t0 = time.time()
+    res = rhf.energy(
+        mol, bsets,
+        {"scf_type": "df", "niter": 30, "dele": 1e-8, "rmsd": 1e-6, "guess": "hcore"},
+    )
+    total = time.time() - t0
+    timings = res["Timings"].timings
+    fock_times = [v for k, v in timings.items() if k.startswith(JCTC.fock_time + "-")]
+    # drop iteration 1 (compile + B build amortization)
+    steady = fock_times[1:] if len(fock_times) > 2 else fock_times
+    fock_per_iter = float(np.mean(steady))
+
+    ref_scaled = REF_SECONDS_PER_ITER_W64 * (NW / 64.0) ** 2
+    out = {
+        "metric": f"df_rhf_fock_build_s_per_iter_w{NW}_631+Gstar",
+        "value": round(fock_per_iter, 4),
+        "unit": "s",
+        "vs_baseline": round(ref_scaled / fock_per_iter, 3),
+    }
+    print(
+        f"# E={res['Energy']:.8f} converged={res['Converged?']} "
+        f"iters={res['Iterations']} total={total:.1f}s fock/iter={fock_per_iter:.3f}s",
+        file=sys.stderr,
+    )
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,9 @@ from .utils.timings import Timings  # noqa: E402
 from . import io  # noqa: E402
 from . import molecule  # noqa: E402
 from . import basis  # noqa: E402
+from . import models  # noqa: E402
+from . import driver  # noqa: E402
+from .driver import run_file, run_spec  # noqa: E402
 
 _initialized = False
 

@@ -13,6 +13,16 @@ import jax
 
 jax.config.update("jax_enable_x64", True)
 
+# Persistent compilation cache: the class-batched integral kernels compile
+# one executable per angular-momentum class; caching them across processes
+# removes the dominant cold-start cost (analog of the reference's custom
+# sysimage work, tools/sysimg/).
+_cache_dir = os.environ.get("JCHEM_COMPILE_CACHE", os.path.expanduser("~/.cache/jchem_xla"))
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 # Default floating dtype used throughout the integral and SCF code.
 import numpy as _np
 

@@ -1,0 +1,38 @@
+"""End-to-end driver: input file -> energy + properties.
+
+Mirrors the reference's canonical script sequence
+(example_scripts/full-rhf.jl / minimal-rhf.jl):
+  initialize -> JCInput.run -> JCMolecule.run -> JCBasis.run ->
+  JCRHF.Energy.run -> JCRHF.Properties.run -> finalize.
+"""
+
+from __future__ import annotations
+
+from . import basis as basis_mod
+from . import io as io_mod
+from . import molecule as molecule_mod
+from .models import properties as properties_mod
+from .models import rhf as rhf_mod
+
+
+def run_spec(spec, output: int = 0) -> dict:
+    mol = molecule_mod.run(spec, output=output)
+    bsets = basis_mod.run(mol, spec.model, output=output)
+    scf_flags = dict(spec.scf_keywords)
+    if spec.auxiliary_basis and "scf_type" not in scf_flags:
+        scf_flags["scf_type"] = "df"
+    result = rhf_mod.energy(mol, bsets, scf_flags, output=output)
+    props = properties_mod.run(mol, bsets, result, spec.prop_keywords, output=output)
+    return {
+        "Input": spec,
+        "Molecule": mol,
+        "Basis": bsets,
+        "Energy": result,
+        "Properties": props,
+    }
+
+
+def run_file(path: str, output: int = 0) -> dict:
+    """Run a QCSchema-style JSON input file end to end."""
+    spec = io_mod.read_input(path, output=output)
+    return run_spec(spec, output=output)

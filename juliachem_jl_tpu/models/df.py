@@ -1,0 +1,110 @@
+"""Density-fitted (RI) Fock build.
+
+Rebuild of DensityFitting/DensityFitting.jl + ScreenedDF.jl as pure MXU
+einsums:
+
+  iteration 1 (setup):
+    (P|Q) metric, L = chol(P|Q)                 [form_J_AB_inv analog]
+    (Q|mu nu) 3-center tensor (Schwarz-masked)  [ThreeCenterIntegrals analog]
+    B = L^{-1} (Q|mu nu)                        [calculate_B analog]
+  every iteration:
+    V_Q = sum_{mn} B[Q,m,n] D[m,n];  J = sum_Q B[Q] V_Q
+    W[Q,i,n] = sum_m B[Q,m,n] C_occ[m,i]       [calculate_W analog]
+    G = J - sum_{Q,i} W W^T                     [J - K/2 with D = 2 C C^T]
+
+The whole per-iteration build is one jitted function; on a device mesh the Q
+axis is sharded and J/K partials are psum-reduced (parallel/shard.py), the
+direct analog of the reference's rank-partitioned B with MPI.Allreduce!
+(DensityFitting.jl:68-71).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.scipy.linalg import solve_triangular
+
+from ..ops import eri3c, schwarz
+from ..ops.pairs import unique_pair_blocks
+from ..utils.timings import JCTC, Timings
+from .scf import FockBuilder
+
+
+def screened_pair_blocks(primary, sigma: float, metric_diag_max: float):
+    """Apply the DF screening criterion (Huang et al. 2020; reference
+    SchwarzScreening.jl:1-8): drop shell pair ab if
+    (ab|ab) < sigma^2 / max_P (P|P)."""
+    blocks = unique_pair_blocks(primary)
+    out = []
+    thresh = sigma**2 / metric_diag_max
+    for b in blocks:
+        q = schwarz.pair_schwarz(b)          # sqrt(max (ab|ab))
+        keep = q**2 >= thresh
+        if keep.any():
+            out.append(b.select(keep))
+    return out
+
+
+def build_B(primary, aux, opts=None, timings: Timings | None = None) -> np.ndarray:
+    """The fitted 3-index tensor B[Q, mu, nu] with metric folded in
+    (calculate_B analog, ScreenedDF.jl:98-105)."""
+    timings = timings or Timings()
+    with timings.timed(JCTC.two_center_time):
+        metric = eri3c.two_center_metric(aux)
+    sigma = getattr(opts, "df_screening_sigma", 1e-5) if opts is not None else 1e-5
+    screen = getattr(opts, "df_screen_exchange", True) if opts is not None else True
+    with timings.timed(JCTC.screening_time):
+        pair_blocks = (
+            screened_pair_blocks(primary, sigma, float(np.diag(metric).max()))
+            if screen else None
+        )
+    with timings.timed(JCTC.three_center_time):
+        P3 = eri3c.three_center_tensor(primary, aux, pair_blocks)
+    with timings.timed(JCTC.B_time):
+        L = np.linalg.cholesky(metric)
+        A, nbf = aux.nbf, primary.nbf
+        B = np.asarray(
+            solve_triangular(jnp.asarray(L), jnp.asarray(P3.reshape(A, -1)), lower=True)
+        ).reshape(A, nbf, nbf)
+    return B
+
+
+@jax.jit
+def df_fock_kernel(B, D, Cocc):
+    """G = J - K/2 from the fitted tensor; all contractions MXU-shaped."""
+    A, nbf = B.shape[0], B.shape[1]
+    Bm = B.reshape(A, nbf * nbf)
+    V = Bm @ D.reshape(-1)                       # [A]
+    J = (V @ Bm).reshape(nbf, nbf)
+    W = jnp.einsum("qmn,mi->qin", B, Cocc)       # [A, occ, nbf]
+    Wm = W.reshape(-1, nbf)
+    Khalf = Wm.T @ Wm                            # = K/2 for D = 2 C C^T
+    return J - Khalf
+
+
+class DFFockBuilder(FockBuilder):
+    """Dense (single-device) DF Fock builder — the TPU analog of the
+    reference's DenseGPUDF.jl path, with screening applied to the 3-center
+    build."""
+
+    def __init__(self, primary, auxiliary, opts=None, timings: Timings | None = None):
+        self.primary = primary
+        self.aux = auxiliary
+        self.nbf = primary.nbf
+        self.B = jnp.asarray(build_B(primary, auxiliary, opts, timings))
+
+    def _occ_coeff(self, D, C_occ):
+        if C_occ is not None:
+            return jnp.asarray(C_occ)
+        # factorize D = sum_k lambda_k u u^T (needed for C-free guesses like SAD)
+        w, U = np.linalg.eigh(np.asarray(D))
+        keep = w > 1e-12
+        return jnp.asarray(U[:, keep] * np.sqrt(0.5 * w[keep])[None, :])
+
+    def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
+        Cocc = self._occ_coeff(D, C_occ)
+        return np.asarray(df_fock_kernel(self.B, jnp.asarray(D), Cocc))
+
+    def finalize(self):
+        self.B = None

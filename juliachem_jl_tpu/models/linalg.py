@@ -1,0 +1,92 @@
+"""Dense linear algebra for the SCF: orthogonalization, Roothaan step, DIIS.
+
+Replaces the reference's LAPACK usage (eigen/potrf/trtri/sysv) in
+src/rhf/energy/SCF.jl:141-162,1072-1125 and EnergyHelpers.DIIS
+(EnergyHelpers.jl:234-258).  All O(mu^3) steps run as XLA ops in f64.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def orthogonalizer(S: np.ndarray, lindep_thresh: float = 1.0e-6):
+    """Canonical orthogonalization X = U_f s_f^{-1/2}.
+
+    Eigenvalues below ``lindep_thresh`` are dropped to remove linear
+    dependencies, exactly as the reference filters them (SCF.jl:141-162).
+    Returns X with shape (nbf, nmo), nmo <= nbf.
+    """
+    s, U = np.linalg.eigh(S)
+    keep = s >= lindep_thresh
+    return U[:, keep] / np.sqrt(s[keep])[None, :]
+
+
+def roothaan_step(F, X, nocc: int):
+    """One Roothaan-Hall iteration (reference ``iteration()``, SCF.jl:1072-1125).
+
+    F' = X^T F X; eigh -> (eps, C'); C = X C'; D = 2 C_occ C_occ^T.
+    Returns (eps, C, D).
+    """
+    Fp = X.T @ F @ X
+    eps, Cp = jnp.linalg.eigh(Fp)
+    C = X @ Cp
+    Cocc = C[:, :nocc]
+    D = 2.0 * (Cocc @ Cocc.T)
+    return eps, C, D
+
+
+class DIIS:
+    """Pulay DIIS on the commutator error e = F D S - S D F.
+
+    Mirrors the reference (error push at SCF.jl:472-501, solve in
+    EnergyHelpers.jl:234-258: B c = rhs via LAPACK sysv, F = sum c_i F_i).
+    """
+
+    def __init__(self, max_vec: int = 8):
+        self.max_vec = max_vec
+        self.F_hist: list[np.ndarray] = []
+        self.e_hist: list[np.ndarray] = []
+
+    def push(self, F: np.ndarray, e: np.ndarray) -> None:
+        self.F_hist.append(np.asarray(F))
+        self.e_hist.append(np.asarray(e))
+        if len(self.F_hist) > self.max_vec:
+            self.F_hist.pop(0)
+            self.e_hist.pop(0)
+
+    @property
+    def size(self) -> int:
+        return len(self.F_hist)
+
+    def extrapolate(self) -> np.ndarray:
+        n = self.size
+        if n == 1:
+            return self.F_hist[0]
+        B = np.empty((n + 1, n + 1))
+        B[:n, :n] = np.array(
+            [[np.vdot(ei, ej) for ej in self.e_hist] for ei in self.e_hist]
+        )
+        B[n, :] = -1.0
+        B[:, n] = -1.0
+        B[n, n] = 0.0
+        rhs = np.zeros(n + 1)
+        rhs[n] = -1.0
+        try:
+            c = np.linalg.solve(B, rhs)
+        except np.linalg.LinAlgError:
+            c = np.linalg.lstsq(B, rhs, rcond=None)[0]
+        F = np.zeros_like(self.F_hist[0])
+        for ci, Fi in zip(c[:n], self.F_hist):
+            F += ci * Fi
+        return F
+
+
+def damping_factor(delta_e: float) -> float:
+    """Dynamic damping weight (reference SCF.jl:504-505): for |dE| >= 1,
+    F <- x F + (1-x) F_old with x = 1/log_50(50 |dE|)."""
+    de = abs(delta_e)
+    if de < 1.0:
+        return 1.0
+    return 1.0 / (np.log(50.0 * de) / np.log(50.0))

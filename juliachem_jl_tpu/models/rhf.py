@@ -1,0 +1,105 @@
+"""RHF energy driver (API parity with JCRHF.Energy.run, src/rhf/energy/Energy.jl).
+
+Returns the same result dictionary shape as the reference's rhf_kernel
+(SCF.jl:251-259): Fock, Density, W (energy-weighted density), MO Coeff,
+MO Energies, Overlap, Energy, Converged?, plus the Timings object.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..utils import constants as C
+from ..utils.options import create_scf_options, print_scf_options
+from ..utils.timings import JCTC, Timings
+from . import scf as scf_mod
+from .scf import FockBuilder
+
+
+def _make_fock_builder(basis_sets, opts, prefer_df: bool):
+    from ..ops.fock import DenseFock, ScreenedDirectFock
+
+    if prefer_df:
+        from .df import DFFockBuilder
+
+        if basis_sets.auxiliary is None:
+            raise ValueError(
+                "density-fitted SCF requires an auxiliary basis "
+                "(model['auxiliary_basis'])"
+            )
+        return DFFockBuilder(basis_sets.primary, basis_sets.auxiliary, opts)
+    if opts.contraction_mode == C.ContractionMode.dense and basis_sets.primary.nbf <= 160:
+        return DenseFock(basis_sets.primary)
+    return ScreenedDirectFock(basis_sets.primary)
+
+
+def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> dict:
+    """Compute the RHF (or DF-RHF) energy.
+
+    scf_flags follows the reference keyword surface (Constants.jl), e.g.
+    {"scf_type": "df", "guess": "sad", "niter": 100, "dele": 1e-8, "rmsd": 1e-6}.
+    """
+    t0 = time.perf_counter()
+    scf_flags = scf_flags or {}
+    opts = create_scf_options(scf_flags)
+    timings = Timings()
+    timings.set_user_options(scf_flags)
+    timings.set_options(opts)
+
+    primary = basis_sets.primary
+    timings.set_basis_info(
+        primary.nbf, primary.nels,
+        basis_sets.auxiliary.nbf if basis_sets.auxiliary is not None else None,
+    )
+    if output >= 1:
+        print_scf_options(opts)
+
+    e_nuc = mol.nuclear_repulsion()
+    state = scf_mod.initial_state(mol, primary, opts, timings, output)
+
+    use_df = opts.scf_type == C.SCFType.density_fitting
+    df_guess = opts.guess == C.Guess.density_fitting
+
+    fock_builder = _make_fock_builder(basis_sets, opts, prefer_df=use_df or df_guess)
+
+    if df_guess and not use_df:
+        # DF warm-up phase, then conventional iterations (SCF.jl:527-550)
+        scf_mod.scf_loop(
+            state, fock_builder, opts, timings, e_nuc, output,
+            max_iterations=opts.df_max_iterations,
+            energy_convergence=opts.df_energy_convergence,
+            density_convergence=opts.df_density_convergence,
+        )
+        fock_builder.finalize()
+        fock_builder = _make_fock_builder(basis_sets, opts, prefer_df=False)
+
+    converged = scf_mod.scf_loop(state, fock_builder, opts, timings, e_nuc, output)
+    fock_builder.finalize()
+
+    E_total = state.energy_elec + e_nuc
+    timings.set_converged(converged, E_total, state.iteration)
+    timings.run_time = time.perf_counter() - t0
+    timings.record(JCTC.run_time, timings.run_time)
+    timings.scf_energy = E_total
+
+    if output >= 1:
+        tag = "" if converged else " (NOT CONVERGED)"
+        print(f"Total SCF Energy: {E_total:.10f} h{tag}")
+
+    W = scf_mod.energy_weighted_density(state) if state.C is not None else None
+    return {
+        "Fock": state.F,
+        "Density": state.D,
+        "W": W,
+        "MO Coeff": state.C,
+        "MO Energies": state.eps,
+        "Overlap": state.S,
+        "Energy": E_total,
+        "Energy Elec": state.energy_elec,
+        "E Nuc": e_nuc,
+        "Converged?": converged,
+        "Iterations": state.iteration,
+        "Timings": timings,
+    }

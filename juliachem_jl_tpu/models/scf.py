@@ -1,0 +1,166 @@
+"""SCF driver: the Roothaan-Hall / DIIS iteration loop.
+
+Rebuild of the reference's rhf_kernel / scf_cycles_kernel
+(src/rhf/energy/SCF.jl:69-592) with a pluggable Fock builder so the same
+driver serves dense, screened-direct and density-fitted builds (and, like the
+reference's df-guess mode, a DF warm-up phase followed by conventional
+iterations — SCF.jl:527-550).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..utils import constants as C
+from ..utils.options import SCFOptions, create_scf_options
+from ..utils.timings import JCTC, Timings
+from ..ops.oei import overlap_kinetic_nuclear
+from . import linalg
+
+
+@dataclass
+class SCFState:
+    """Carries everything the iteration loop mutates (analog of SCFData,
+    src/shared/SCFData.jl:19-37)."""
+
+    H: np.ndarray
+    S: np.ndarray
+    X: np.ndarray
+    nocc: int
+    F: np.ndarray = None
+    D: np.ndarray = None
+    C: np.ndarray = None
+    eps: np.ndarray = None
+    energy_elec: float = 0.0
+    iteration: int = 0
+
+
+class FockBuilder:
+    """Interface: given the (factor-2) density D, return the two-electron part
+    G[D] = J - 0.5 K so that F = H + G[D].  Builders that exploit the
+    occupied MO factorization (DF) use C_occ when available."""
+
+    def two_electron_fock(self, D: np.ndarray, iteration: int, timings: Timings,
+                          C_occ=None):
+        raise NotImplementedError
+
+    def finalize(self):  # release per-geometry tensors
+        pass
+
+
+def electronic_energy(D, H, F) -> float:
+    """E_elec = 1/2 sum D (H + F)  (reference SCF.jl:1110-1125 convention,
+    D = 2 C_occ C_occ^T)."""
+    return 0.5 * float(np.sum(D * (H + F)))
+
+
+def scf_loop(
+    state: SCFState,
+    fock_builder: FockBuilder,
+    opts: SCFOptions,
+    timings: Timings,
+    e_nuc: float,
+    output: int = 0,
+    max_iterations: int | None = None,
+    energy_convergence: float | None = None,
+    density_convergence: float | None = None,
+):
+    """Iterate to convergence; returns True if converged.
+
+    Convergence test: |dE| <= dele and rms(dD) <= rmsd (SCF.jl:549).
+    """
+    dele = energy_convergence if energy_convergence is not None else opts.energy_convergence
+    rmsd = density_convergence if density_convergence is not None else opts.density_convergence
+    niter = max_iterations if max_iterations is not None else opts.max_iterations
+
+    diis = linalg.DIIS(max_vec=opts.ndiis)
+    E_old = state.energy_elec
+    D_old = state.D.copy() if state.D is not None else None
+    F_old = None
+    last_dE = 1.0e9
+    converged = False
+
+    if output >= 2:
+        print(f"{'iter':>4s} {'E total':>20s} {'dE':>12s} {'D rms':>12s} {'t (s)':>8s}")
+
+    for it in range(1, niter + 1):
+        t_it = time.perf_counter()
+        state.iteration = it
+
+        C_occ = state.C[:, : state.nocc] if state.C is not None else None
+        with timings.timed(JCTC.fock_time, it):
+            G = fock_builder.two_electron_fock(state.D, it, timings, C_occ)
+        F = state.H + np.asarray(G)
+
+        # DIIS on e = F D S - S D F (SCF.jl:472-501)
+        with timings.timed(JCTC.diis_time, it):
+            e_vec = F @ state.D @ state.S - state.S @ state.D @ F
+            diis.push(F, e_vec)
+            F_diis = diis.extrapolate()
+
+        # dynamic damping for early iterations (SCF.jl:504-505)
+        if opts.damp and F_old is not None:
+            x = linalg.damping_factor(last_dE)
+            if x < 1.0:
+                F_diis = x * F_diis + (1.0 - x) * F_old
+        F_old = F
+
+        with timings.timed(JCTC.eigensolve_time, it):
+            eps, Cmo, D = linalg.roothaan_step(F_diis, state.X, state.nocc)
+            eps, Cmo, D = np.asarray(eps), np.asarray(Cmo), np.asarray(D)
+
+        E_elec = electronic_energy(D, state.H, F)
+        dE = E_elec - E_old
+        last_dE = dE
+        d_rms = float(np.sqrt(np.mean((D - D_old) ** 2))) if D_old is not None else 1.0
+
+        state.F, state.D, state.C, state.eps = F, D, Cmo, eps
+        state.energy_elec = E_elec
+        E_old, D_old = E_elec, D.copy()
+
+        t_el = time.perf_counter() - t_it
+        timings.record(JCTC.iteration_time, t_el, it)
+        if output >= 2:
+            print(f"{it:4d} {E_elec + e_nuc:20.10f} {dE:12.3e} {d_rms:12.3e} {t_el:8.2f}")
+
+        if abs(dE) <= dele and d_rms <= rmsd:
+            converged = True
+            break
+
+    return converged
+
+
+def energy_weighted_density(state: SCFState) -> np.ndarray:
+    """W = 2 sum_occ eps_i C_i C_i^T (reference SCF.jl:577-586)."""
+    Cocc = state.C[:, : state.nocc]
+    return 2.0 * (Cocc * state.eps[: state.nocc][None, :]) @ Cocc.T
+
+
+def initial_state(mol, basis, opts: SCFOptions, timings: Timings, output: int = 0) -> SCFState:
+    """Hamiltonian core pieces + orthogonalizer + guess density."""
+    with timings.timed(JCTC.H_time):
+        S, T, V = overlap_kinetic_nuclear(basis, mol)
+    H = T + V
+    X = linalg.orthogonalizer(S)
+    nocc = basis.nels // 2
+    if basis.nels % 2 != 0:
+        raise ValueError(
+            f"RHF requires an even number of electrons (got {basis.nels})"
+        )
+    state = SCFState(H=H, S=S, X=X, nocc=nocc)
+
+    with timings.timed(JCTC.guess_time):
+        if opts.guess == C.Guess.sad:
+            from .guess import sad_guess
+
+            state.D = sad_guess(mol, basis)
+            state.F = None
+        else:  # hcore guess (F = H): SCF.jl:107-117
+            eps, Cmo, D = linalg.roothaan_step(H, X, nocc)
+            state.eps, state.C, state.D = np.asarray(eps), np.asarray(Cmo), np.asarray(D)
+            state.F = H.copy()
+            state.energy_elec = electronic_energy(state.D, H, H)
+    return state

@@ -1,0 +1,125 @@
+"""Electron-repulsion integrals, class-batched McMurchie-Davidson.
+
+TPU-native replacement for the reference's RHFTEIEngine.compute_eri_block
+(deps/src/jeri-tei.hpp:62-84, one libint call per shell quartet): every
+(la,lb,lc,ld) class is one jitted tensor program over a batch of quartets,
+structured as two batched matmuls over the Hermite axis —
+
+    (ab|cd)[n] = Eab[n] . M[n] . Ecd[n]^T,
+    M[n][h,h'] = (-1)^{|h'|} R_{h+h'}(alpha, P-Q)
+
+— which is exactly the MXU-shaped factorization of the MD contraction.
+The same kernel family serves 4-center, 3-center (unit ket shell) and
+2-center (two unit shells) integrals, replacing jeri-df-tei.hpp as well.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..basis.structs import Basis, ncart
+from .boys import boys
+from .class_tables import combine_tables, pair_tables
+from .mcmurchie import hermite_expansion, pair_primitive_data, r_tensor
+from .pairs import PairBlock
+
+TWO_PI_POW_2_5 = 2.0 * np.pi**2.5
+
+
+def bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B):
+    """Hermite expansion of a pair batch: returns (Eab[N,K2,nab,nh], p[N,K2],
+    P[N,K2,3]) with contraction coefficients and axial factors folded in."""
+    prim = pair_primitive_data(aexp, bexp, acoef, bcoef, A, B)
+    Eab = hermite_expansion(la, lb, prim)
+    return Eab, prim["p"], prim["P"]
+
+
+@lru_cache(maxsize=None)
+def _eri_kernel(la, lb, lc, ld, Ka, Kb, Kc, Kd):
+    """Jitted quartet-class kernel -> blocks [N, nca*ncb, ncc*ncd]."""
+    Lb = la + lb
+    Lk = lc + ld
+    L = Lb + Lk
+    comb, sign = combine_tables(Lb, Lk)
+    nab = ncart(la) * ncart(lb)
+    ncd = ncart(lc) * ncart(ld)
+
+    def f(aexp, bexp, acoef, bcoef, A, B, cexp, dexp, ccoef, dcoef, C, D):
+        Eab, p, P = bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B)
+        Ecd, q, Q = bra_hermite(lc, ld, cexp, dexp, ccoef, dcoef, C, D)
+
+        PQ = P[:, :, None, :] - Q[:, None, :, :]          # [N,K2b,K2k,3]
+        psum = p[:, :, None] + q[:, None, :]
+        alpha = p[:, :, None] * q[:, None, :] / psum
+        Targ = alpha * jnp.sum(PQ**2, axis=-1)
+        pref = TWO_PI_POW_2_5 / (p[:, :, None] * q[:, None, :] * jnp.sqrt(psum))
+        F = boys(Targ, L) * pref[..., None]
+        R = r_tensor(L, alpha, PQ, F)                     # [N,K2b,K2k,nherm(L)]
+
+        M = R[..., comb] * jnp.asarray(sign)[None, None, None, None, :]
+        # contract ket: T1[n,kb,h,cd] = sum_{kk,h'} M * Ecd
+        T1 = jnp.einsum("nqkhg,nkcg->nqhc", M, Ecd)
+        # contract bra: out[n,ab,cd] = sum_{kb,h} Eab * T1
+        out = jnp.einsum("nqah,nqhc->nac", Eab, T1)
+        return out
+
+    return jax.jit(f)
+
+
+def eri_block(bra: PairBlock, ket: PairBlock, sel_bra, sel_ket, chunk=1024):
+    """ERI blocks for quartets (bra[sel_bra[i]], ket[sel_ket[i]]).
+
+    Returns numpy [len(sel), nca*ncb, ncc*ncd].
+    """
+    kern = _eri_kernel(
+        bra.la, bra.lb, ket.la, ket.lb,
+        bra.aexp.shape[1], bra.bexp.shape[1],
+        ket.aexp.shape[1], ket.bexp.shape[1],
+    )
+    n = len(sel_bra)
+    outs = []
+    chunk = min(chunk, max(n, 1))
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        ib, ik = sel_bra[s:e], sel_ket[s:e]
+        if e - s < chunk:
+            ib = np.concatenate([ib, np.repeat(ib[:1], chunk - (e - s))])
+            ik = np.concatenate([ik, np.repeat(ik[:1], chunk - (e - s))])
+        res = kern(
+            jnp.asarray(bra.aexp[ib]), jnp.asarray(bra.bexp[ib]),
+            jnp.asarray(bra.acoef[ib]), jnp.asarray(bra.bcoef[ib]),
+            jnp.asarray(bra.A[ib]), jnp.asarray(bra.B[ib]),
+            jnp.asarray(ket.aexp[ik]), jnp.asarray(ket.bexp[ik]),
+            jnp.asarray(ket.acoef[ik]), jnp.asarray(ket.bcoef[ik]),
+            jnp.asarray(ket.A[ik]), jnp.asarray(ket.B[ik]),
+        )
+        outs.append(np.asarray(res)[: e - s])
+    return np.concatenate(outs, axis=0)
+
+
+def full_eri_tensor(basis: Basis) -> np.ndarray:
+    """Dense (mu nu | lam sig) tensor — correctness reference for tiny
+    systems (analog of the reference's debug integral printers)."""
+    from .pairs import cross_pair_blocks
+
+    nbf = basis.nbf
+    G = np.zeros((nbf, nbf, nbf, nbf))
+    # all ordered pairs per class combination: every quartet computed directly
+    blocks = cross_pair_blocks(basis, basis)
+    for bra in blocks:
+        for ket in blocks:
+            ii, kk = np.meshgrid(np.arange(bra.n), np.arange(ket.n), indexing="ij")
+            sel_b, sel_k = ii.ravel(), kk.ravel()
+            vals = eri_block(bra, ket, sel_b, sel_k)
+            nca, ncb = bra.nbf_block
+            ncc, ncd = ket.nbf_block
+            vals = vals.reshape(-1, nca, ncb, ncc, ncd)
+            for m in range(len(sel_b)):
+                oa, ob = bra.off_a[sel_b[m]], bra.off_b[sel_b[m]]
+                oc, od = ket.off_a[sel_k[m]], ket.off_b[sel_k[m]]
+                G[oa:oa + nca, ob:ob + ncb, oc:oc + ncc, od:od + ncd] = vals[m]
+    return G

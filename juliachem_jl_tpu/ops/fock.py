@@ -1,0 +1,250 @@
+"""Conventional (direct-SCF) Fock builders.
+
+Rebuild of the reference's Fock build (SCF.jl:606-1054): instead of walking a
+composite triangular quartet index space across ranks/threads with per-quartet
+libint calls and a scalar 6-term J/K digestion (SCF.jl:979-1054), quartets are
+grouped by angular-momentum class, Schwarz-screened *at setup time* into
+static batches, and each batch is digested with dense einsums + scatter-adds
+on device.
+
+Symmetry handling: each symmetry-unique quartet (unordered bra pair, unordered
+ket pair, unordered pair-of-pairs) carries weight
+    v = I / ((1+d_AB)(1+d_CD)(1+d_{AB,CD}))
+and is accumulated into non-symmetric J/K workspaces for its four bra-side
+images; the final J/K are symmetrized (J + J^T).  This reproduces the
+reference's skeleton-Fock + symmetrize scheme (SCF.jl:626-641) in vector form.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..basis.structs import Basis, ncart
+from ..models.scf import FockBuilder
+from ..utils.timings import JCTC, Timings
+from .eri import _eri_kernel, full_eri_tensor
+from .pairs import PairBlock, unique_pair_blocks
+from .schwarz import pair_schwarz
+
+DEFAULT_CUTOFF = 1.0e-10  # Schwarz |(ab|cd)| cutoff (reference uses 1e-10, SCF.jl:1011)
+
+
+class DenseFock(FockBuilder):
+    """Full in-memory ERI tensor; correctness reference for small systems."""
+
+    def __init__(self, basis: Basis):
+        self.G = jnp.asarray(full_eri_tensor(basis))
+
+    def two_electron_fock(self, D, iteration, timings, C_occ=None):
+        D = jnp.asarray(D)
+        J = jnp.einsum("pqrs,rs->pq", self.G, D)
+        K = jnp.einsum("prqs,rs->pq", self.G, D)
+        return np.asarray(J - 0.5 * K)
+
+    def finalize(self):
+        self.G = None
+
+
+@dataclass
+class QuartetBatch:
+    """A screened batch of symmetry-unique quartets of one class."""
+
+    bra: PairBlock
+    ket: PairBlock
+    sel_bra: np.ndarray      # [N] indices into bra block
+    sel_ket: np.ndarray      # [N]
+    weight: np.ndarray       # [N] symmetry weights v
+    # flat scatter indices into (nbf*nbf), one per digestion image
+    idx_ab: np.ndarray       # [N, nab]
+    idx_cd: np.ndarray       # [N, ncd]
+    idx_ac: np.ndarray       # [N, nca*ncc]
+    idx_ad: np.ndarray       # [N, nca*ncd']
+    idx_bc: np.ndarray       # [N, ncb*ncc]
+    idx_bd: np.ndarray       # [N, ncb*ncd']
+
+
+def _pair_bf_indices(block: PairBlock):
+    """off arrays [N, nc] for each side of a pair block."""
+    nca, ncb = block.nbf_block
+    ia = block.off_a[:, None] + np.arange(nca)[None, :]
+    ib = block.off_b[:, None] + np.arange(ncb)[None, :]
+    return ia, ib
+
+
+def build_quartet_batches(
+    basis: Basis, cutoff: float = DEFAULT_CUTOFF, pair_cutoff_scale: float = 1.0e-4
+) -> tuple[list[QuartetBatch], np.ndarray]:
+    """Enumerate Schwarz-screened symmetry-unique quartet batches.
+
+    Returns (batches, Q) where Q is the shell-pair Schwarz matrix.  Screening
+    is static per geometry: quartets with Q_ab * Q_cd < cutoff are dropped
+    from the batch lists entirely (the reference computes the same bound per
+    quartet at SCF.jl:916-933).
+    """
+    nbf = basis.nbf
+    blocks = unique_pair_blocks(basis)
+    qvals = [pair_schwarz(b) for b in blocks]
+    qmax = max((q.max() for q in qvals if len(q)), default=1.0)
+
+    # prune negligible pairs outright
+    kept: list[PairBlock] = []
+    kept_q: list[np.ndarray] = []
+    pair_cut = cutoff * pair_cutoff_scale / max(qmax, 1e-30)
+    for b, q in zip(blocks, qvals):
+        keep = q >= pair_cut
+        if keep.any():
+            kept.append(b.select(keep))
+            kept_q.append(q[keep])
+
+    batches: list[QuartetBatch] = []
+    for i, (bra, qb) in enumerate(zip(kept, kept_q)):
+        for j in range(i, len(kept)):
+            ket, qk = kept[j], kept_q[j]
+            same_block = i == j
+            if same_block:
+                r, c = np.triu_indices(bra.n)
+            else:
+                r, c = np.meshgrid(np.arange(bra.n), np.arange(ket.n), indexing="ij")
+                r, c = r.ravel(), c.ravel()
+            mask = qb[r] * qk[c] >= cutoff
+            r, c = r[mask], c[mask]
+            if len(r) == 0:
+                continue
+            w = np.ones(len(r))
+            w *= np.where(bra.ish[r] == bra.jsh[r], 0.5, 1.0)
+            w *= np.where(ket.ish[c] == ket.jsh[c], 0.5, 1.0)
+            if same_block:
+                w *= np.where(r == c, 0.5, 1.0)
+
+            ia, ib = _pair_bf_indices(bra)
+            ic, idx_d = _pair_bf_indices(ket)
+            ia, ib = ia[r], ib[r]
+            ic, idd = ic[c], idx_d[c]
+
+            def flat(u, v):
+                # [N, nu] x [N, nv] -> [N, nu*nv] flat (nbf*nbf) indices
+                return (u[:, :, None] * nbf + v[:, None, :]).reshape(len(u), -1)
+
+            batches.append(
+                QuartetBatch(
+                    bra=bra, ket=ket, sel_bra=r, sel_ket=c, weight=w,
+                    idx_ab=flat(ia, ib), idx_cd=flat(ic, idd),
+                    idx_ac=flat(ia, ic), idx_ad=flat(ia, idd),
+                    idx_bc=flat(ib, ic), idx_bd=flat(ib, idd),
+                )
+            )
+
+    Q = np.zeros((basis.nshell, basis.nshell))
+    for b, q in zip(blocks, qvals):
+        Q[b.ish, b.jsh] = q
+        Q[b.jsh, b.ish] = q
+    return batches, Q
+
+
+def _make_digest(la, lb, lc, ld, nbf):
+    """Jitted digestion: ERI block -> (J_ws, K_ws) flat scatter contributions."""
+    nca, ncb, ncc, ncd = ncart(la), ncart(lb), ncart(lc), ncart(ld)
+
+    def f(J_ws, K_ws, I, w, D, idx_ab, idx_cd, idx_ac, idx_ad, idx_bc, idx_bd):
+        N = I.shape[0]
+        I4 = (I * w[:, None, None]).reshape(N, nca, ncb, ncc, ncd)
+        Dm = D.reshape(-1)
+
+        def gD(idx, n1, n2):
+            return Dm[idx].reshape(N, n1, n2)
+
+        D_cd = gD(idx_cd, ncc, ncd)
+        D_ab = gD(idx_ab, nca, ncb)
+        # J: 2v (I . D)
+        j_ab = 2.0 * jnp.einsum("nabcd,ncd->nab", I4, D_cd)
+        j_cd = 2.0 * jnp.einsum("nabcd,nab->ncd", I4, D_ab)
+        J_ws = J_ws.at[idx_ab.reshape(-1)].add(j_ab.reshape(-1))
+        J_ws = J_ws.at[idx_cd.reshape(-1)].add(j_cd.reshape(-1))
+        # K: v (I . D) over the four bra-side images
+        k_ac = jnp.einsum("nabcd,nbd->nac", I4, gD(idx_bd, ncb, ncd))
+        k_ad = jnp.einsum("nabcd,nbc->nad", I4, gD(idx_bc, ncb, ncc))
+        k_bc = jnp.einsum("nabcd,nad->nbc", I4, gD(idx_ad, nca, ncd))
+        k_bd = jnp.einsum("nabcd,nac->nbd", I4, gD(idx_ac, nca, ncc))
+        K_ws = K_ws.at[idx_ac.reshape(-1)].add(k_ac.reshape(-1))
+        K_ws = K_ws.at[idx_ad.reshape(-1)].add(k_ad.reshape(-1))
+        K_ws = K_ws.at[idx_bc.reshape(-1)].add(k_bc.reshape(-1))
+        K_ws = K_ws.at[idx_bd.reshape(-1)].add(k_bd.reshape(-1))
+        return J_ws, K_ws
+
+    return jax.jit(f, donate_argnums=(0, 1))
+
+
+class ScreenedDirectFock(FockBuilder):
+    """Class-batched, Schwarz-screened direct Fock build (production CPU/TPU
+    conventional path; replaces SCF.jl:665-1054)."""
+
+    def __init__(self, basis: Basis, cutoff: float = DEFAULT_CUTOFF, chunk: int = 2048):
+        self.basis = basis
+        self.nbf = basis.nbf
+        self.chunk = chunk
+        self.batches, self.Q = build_quartet_batches(basis, cutoff)
+        self._digesters = {}
+        self._eri_kerns = {}
+
+    def _get_fns(self, b: QuartetBatch):
+        key = (b.bra.la, b.bra.lb, b.ket.la, b.ket.lb,
+               b.bra.aexp.shape[1], b.bra.bexp.shape[1],
+               b.ket.aexp.shape[1], b.ket.bexp.shape[1])
+        if key not in self._digesters:
+            self._digesters[key] = _make_digest(*key[:4], self.nbf)
+            self._eri_kerns[key] = _eri_kernel(*key)
+        return self._eri_kerns[key], self._digesters[key]
+
+    def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
+        nbf = self.nbf
+        D = jnp.asarray(D)
+        J_ws = jnp.zeros(nbf * nbf)
+        K_ws = jnp.zeros(nbf * nbf)
+        for b in self.batches:
+            eri_kern, digest = self._get_fns(b)
+            n = len(b.sel_bra)
+            chunk = min(self.chunk, max(n, 1))
+            for s in range(0, n, chunk):
+                e = min(s + chunk, n)
+                sb, sk = b.sel_bra[s:e], b.sel_ket[s:e]
+                w = b.weight[s:e]
+                sl = slice(s, e)
+                pads = chunk - (e - s)
+                if pads:
+                    sb = np.concatenate([sb, np.repeat(sb[:1], pads)])
+                    sk = np.concatenate([sk, np.repeat(sk[:1], pads)])
+                    w = np.concatenate([w, np.zeros(pads)])
+
+                def gsl(x, sel):
+                    return jnp.asarray(x[sel])
+
+                I = eri_kern(
+                    gsl(b.bra.aexp, sb), gsl(b.bra.bexp, sb),
+                    gsl(b.bra.acoef, sb), gsl(b.bra.bcoef, sb),
+                    gsl(b.bra.A, sb), gsl(b.bra.B, sb),
+                    gsl(b.ket.aexp, sk), gsl(b.ket.bexp, sk),
+                    gsl(b.ket.acoef, sk), gsl(b.ket.bcoef, sk),
+                    gsl(b.ket.A, sk), gsl(b.ket.B, sk),
+                )
+
+                def pad_idx(x):
+                    part = x[sl]
+                    if pads:
+                        part = np.concatenate([part, np.repeat(part[:1], pads, axis=0)])
+                    return jnp.asarray(part)
+
+                J_ws, K_ws = digest(
+                    J_ws, K_ws, I, jnp.asarray(w), D,
+                    pad_idx(b.idx_ab), pad_idx(b.idx_cd),
+                    pad_idx(b.idx_ac), pad_idx(b.idx_ad),
+                    pad_idx(b.idx_bc), pad_idx(b.idx_bd),
+                )
+        J = J_ws.reshape(nbf, nbf)
+        K = K_ws.reshape(nbf, nbf)
+        J = J + J.T
+        K = K + K.T
+        return np.asarray(J - 0.5 * K)

@@ -1,0 +1,91 @@
+"""Sharded density-fitted SCF step (SPMD over the device mesh).
+
+This module is where the reference's entire MPI layer collapses into a few
+shard_map'd einsums (SURVEY.md §7 step 7):
+
+  reference                                  here
+  ---------                                  ----
+  aux partition over ranks/GPUs              B sharded on mesh axis "q"
+  (DynamicLoad.jl:160-203)
+  per-rank W/K/J partials                    per-shard einsums
+  MPI.Allreduce!(fock)                       jax.lax.psum over "q"
+  (DensityFitting.jl:68-71)
+  exchange block loops (ScreenedDF.jl)       K columns sharded over "k"
+  MPI.Bcast! of C each iteration             implicit replication
+
+All collectives ride ICI; nothing here depends on the number of devices at
+trace time except the static shard shapes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from jax.experimental.shard_map import shard_map
+
+
+def make_df_fock_step(mesh: Mesh, A_pad: int, nbf: int, nbf_pad: int, nocc: int):
+    """Jitted sharded G = J - K/2.
+
+    Layout: B stored as [A_pad, nbf, nbf_pad] sharded P("q", None, "k"):
+    every device holds a (A_pad/q, nbf, nbf_pad/k) block — both the aux axis
+    and the second AO axis are distributed, so B memory scales with the full
+    mesh size.  D must arrive padded to [nbf, nbf_pad].
+    """
+    nk = mesh.shape["k"]
+    ncol = nbf_pad // nk
+
+    def local_fock(B_blk, D, Cocc):
+        # B_blk: [A_l, nbf, ncol]; D (padded to [nbf, nbf_pad]) and Cocc
+        # replicated.
+        k = jax.lax.axis_index("k")
+        col0 = k * ncol
+        Dcols = jax.lax.dynamic_slice(D, (0, col0), (nbf, ncol))
+        # --- J ---
+        V = jnp.einsum("qmn,mn->q", B_blk, Dcols)          # local cols
+        V = jax.lax.psum(V, "k")                            # full V_Q per shard row
+        Jcols = jnp.einsum("qmn,q->mn", B_blk, V)           # [nbf, ncol]
+        # --- K/2 ---
+        W = jnp.einsum("qmn,mi->qin", B_blk, Cocc)          # [A_l, nocc, ncol]
+        Wg = jax.lax.all_gather(W, "k", axis=2, tiled=True)  # [A_l, nocc, nbf_pad]
+        Kcols = jnp.einsum("qim,qin->mn", Wg[:, :, :nbf], W)  # [nbf, ncol]
+        Gcols = jax.lax.psum(Jcols - Kcols, "q")            # [nbf, ncol]
+        G = jax.lax.all_gather(Gcols, "k", axis=1, tiled=True)  # [nbf, nbf_pad]
+        return G[:, :nbf]
+
+    fock = shard_map(
+        local_fock,
+        mesh=mesh,
+        in_specs=(P("q", None, "k"), P(), P()),
+        out_specs=P(),
+    )
+    return jax.jit(fock)
+
+
+def make_scf_step(mesh: Mesh, A_pad: int, nbf: int, nbf_pad: int, nocc: int):
+    """Full jitted SCF iteration over the mesh: sharded Fock build + Roothaan
+    eigensolve + energy (the 'training step' of this framework)."""
+    fock = make_df_fock_step(mesh, A_pad, nbf, nbf_pad, nocc)
+
+    def step(B, H, X, D, Cocc):
+        D_pad = jnp.pad(D, ((0, 0), (0, nbf_pad - nbf)))
+        G = fock(B, D_pad, Cocc)
+        F = H + G
+        Fp = X.T @ F @ X
+        eps, Cp = jnp.linalg.eigh(Fp)
+        C = X @ Cp
+        Cocc_new = C[:, :nocc]
+        D_new = 2.0 * (Cocc_new @ Cocc_new.T)
+        E_elec = 0.5 * jnp.sum(D_new * (H + F))
+        return F, D_new, Cocc_new, eps, E_elec
+
+    return jax.jit(step)
+
+
+def shard_B(mesh: Mesh, B):
+    """Place a [A_pad, nbf, nbf_pad] B tensor with the production sharding."""
+    return jax.device_put(B, NamedSharding(mesh, P("q", None, "k")))

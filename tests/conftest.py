@@ -7,7 +7,11 @@ the reference's real-cluster-only MPI tests, SURVEY.md §4).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
+# Prevent the axon TPU plugin (sitecustomize in /root/.axon_site) from
+# dialing its remote relay during CPU-only test runs — it adds minutes to
+# jax import and is irrelevant off-device.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
