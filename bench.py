@@ -79,6 +79,13 @@ def main():
         f"iters={res['Iterations']} total={total:.1f}s fock/iter={fock_per_iter:.3f}s",
         file=sys.stderr,
     )
+    setup_keys = [JCTC.two_center_time, JCTC.three_center_time, JCTC.B_time,
+                  JCTC.screening_time, JCTC.H_time, JCTC.guess_time]
+    setup = {k: round(timings.get(k, 0.0), 2) for k in setup_keys}
+    print(f"# setup: {setup}", file=sys.stderr)
+    with open("BENCH_DETAILS.json", "w") as f:
+        json.dump({"headline": out, "total_s": total, "timings": timings},
+                  f, indent=1)
     print(json.dumps(out))
 
 

@@ -17,8 +17,13 @@ jax.config.update("jax_enable_x64", True)
 # one executable per angular-momentum class; caching them across processes
 # removes the dominant cold-start cost (analog of the reference's custom
 # sysimage work, tools/sysimg/).
+#
+# CPU is excluded: this jaxlib segfaults serializing CPU executables into the
+# cache (put_executable_and_time), and reloading warns about machine-feature
+# mismatches.  TPU (axon) executables round-trip fine.
 _cache_dir = os.environ.get("JCHEM_COMPILE_CACHE", os.path.expanduser("~/.cache/jchem_xla"))
-if _cache_dir:
+_platforms = os.environ.get("JAX_PLATFORMS", "")
+if _cache_dir and ("cpu" not in _platforms.lower() and _platforms):
     os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -35,12 +35,13 @@ def screened_pair_blocks(primary, sigma: float, metric_diag_max: float):
     """Apply the DF screening criterion (Huang et al. 2020; reference
     SchwarzScreening.jl:1-8): drop shell pair ab if
     (ab|ab) < sigma^2 / max_P (P|P)."""
+    from ..ops.native import df_pair_mask
+
     blocks = unique_pair_blocks(primary)
     out = []
-    thresh = sigma**2 / metric_diag_max
     for b in blocks:
         q = schwarz.pair_schwarz(b)          # sqrt(max (ab|ab))
-        keep = q**2 >= thresh
+        keep = df_pair_mask(q, sigma, metric_diag_max)
         if keep.any():
             out.append(b.select(keep))
     return out

@@ -18,7 +18,7 @@ from . import scf as scf_mod
 from .scf import FockBuilder
 
 
-def _make_fock_builder(basis_sets, opts, prefer_df: bool):
+def _make_fock_builder(basis_sets, opts, prefer_df: bool, timings=None):
     from ..ops.fock import DenseFock, ScreenedDirectFock
 
     if prefer_df:
@@ -29,7 +29,8 @@ def _make_fock_builder(basis_sets, opts, prefer_df: bool):
                 "density-fitted SCF requires an auxiliary basis "
                 "(model['auxiliary_basis'])"
             )
-        return DFFockBuilder(basis_sets.primary, basis_sets.auxiliary, opts)
+        return DFFockBuilder(basis_sets.primary, basis_sets.auxiliary, opts,
+                             timings=timings)
     if opts.contraction_mode == C.ContractionMode.dense and basis_sets.primary.nbf <= 160:
         return DenseFock(basis_sets.primary)
     return ScreenedDirectFock(basis_sets.primary)
@@ -57,12 +58,18 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         print_scf_options(opts)
 
     e_nuc = mol.nuclear_repulsion()
-    state = scf_mod.initial_state(mol, primary, opts, timings, output)
+    restart_path = scf_flags.get("restart")
+    if restart_path:
+        state = scf_mod.load_checkpoint(restart_path)
+    else:
+        state = scf_mod.initial_state(mol, primary, opts, timings, output)
+    checkpoint_path = scf_flags.get("checkpoint")
 
     use_df = opts.scf_type == C.SCFType.density_fitting
     df_guess = opts.guess == C.Guess.density_fitting
 
-    fock_builder = _make_fock_builder(basis_sets, opts, prefer_df=use_df or df_guess)
+    fock_builder = _make_fock_builder(
+        basis_sets, opts, prefer_df=use_df or df_guess, timings=timings)
 
     if df_guess and not use_df:
         # DF warm-up phase, then conventional iterations (SCF.jl:527-550)
@@ -75,8 +82,14 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         fock_builder.finalize()
         fock_builder = _make_fock_builder(basis_sets, opts, prefer_df=False)
 
-    converged = scf_mod.scf_loop(state, fock_builder, opts, timings, e_nuc, output)
+    converged = scf_mod.scf_loop(
+        state, fock_builder, opts, timings, e_nuc, output,
+        checkpoint_path=checkpoint_path,
+        checkpoint_every=int(scf_flags.get("checkpoint_every", 5)),
+    )
     fock_builder.finalize()
+    if state.debug is not None:
+        state.debug.close()
 
     E_total = state.energy_elec + e_nuc
     timings.set_converged(converged, E_total, state.iteration)
@@ -88,8 +101,21 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         tag = "" if converged else " (NOT CONVERGED)"
         print(f"Total SCF Energy: {E_total:.10f} h{tag}")
 
+    error = None
+    if not converged:
+        # QCSchema-style error payload (reference SCF.jl:201-222)
+        error = {
+            "error_type": "convergence_error",
+            "error_message": (
+                f"SCF did not converge in {state.iteration} iterations "
+                f"(dele={opts.energy_convergence}, rmsd={opts.density_convergence})"
+            ),
+            "success": False,
+        }
+
     W = scf_mod.energy_weighted_density(state) if state.C is not None else None
     return {
+        "Error": error,
         "Fock": state.F,
         "Density": state.D,
         "W": W,

@@ -36,6 +36,7 @@ class SCFState:
     eps: np.ndarray = None
     energy_elec: float = 0.0
     iteration: int = 0
+    debug: object = None  # DebugDump or None
 
 
 class FockBuilder:
@@ -67,6 +68,8 @@ def scf_loop(
     max_iterations: int | None = None,
     energy_convergence: float | None = None,
     density_convergence: float | None = None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 5,
 ):
     """Iterate to convergence; returns True if converged.
 
@@ -81,6 +84,8 @@ def scf_loop(
     D_old = state.D.copy() if state.D is not None else None
     F_old = None
     last_dE = 1.0e9
+    G_cumul = None
+    D_fock_ref = None
     converged = False
 
     if output >= 2:
@@ -92,7 +97,19 @@ def scf_loop(
 
         C_occ = state.C[:, : state.nocc] if state.C is not None else None
         with timings.timed(JCTC.fock_time, it):
-            G = fock_builder.two_electron_fock(state.D, it, timings, C_occ)
+            if opts.fdiff and G_cumul is not None:
+                # incremental Fock: build with dD, accumulate (SCF.jl:421-431)
+                dD = state.D - D_fock_ref
+                G_cumul = G_cumul + np.asarray(
+                    fock_builder.two_electron_fock(dD, it, timings, None))
+                D_fock_ref = state.D.copy()
+                G = G_cumul
+            else:
+                G = np.asarray(
+                    fock_builder.two_electron_fock(state.D, it, timings, C_occ))
+                if opts.fdiff:
+                    G_cumul = G
+                    D_fock_ref = state.D.copy()
         F = state.H + np.asarray(G)
 
         # DIIS on e = F D S - S D F (SCF.jl:472-501)
@@ -121,16 +138,47 @@ def scf_loop(
         state.energy_elec = E_elec
         E_old, D_old = E_elec, D.copy()
 
+        if state.debug is not None:
+            state.debug.write("fock", F, it)
+            state.debug.write("density", D, it)
+            state.debug.write("coefficients", Cmo, it)
+            state.debug.write("energy", E_elec, it)
+
         t_el = time.perf_counter() - t_it
         timings.record(JCTC.iteration_time, t_el, it)
         if output >= 2:
             print(f"{it:4d} {E_elec + e_nuc:20.10f} {dE:12.3e} {d_rms:12.3e} {t_el:8.2f}")
 
+        if checkpoint_path and (it % checkpoint_every == 0):
+            save_checkpoint(state, checkpoint_path, e_nuc)
+
         if abs(dE) <= dele and d_rms <= rmsd:
             converged = True
             break
 
+    if checkpoint_path:
+        save_checkpoint(state, checkpoint_path, e_nuc)
     return converged
+
+
+def save_checkpoint(state: SCFState, path: str, e_nuc: float) -> None:
+    """Persist restartable SCF state (a capability the reference lacks —
+    its 'Restart data is being output' banner writes nothing, SCF.jl:205-207)."""
+    np.savez_compressed(
+        path, H=state.H, S=state.S, X=state.X, F=state.F, D=state.D,
+        C=state.C, eps=state.eps, nocc=state.nocc,
+        energy_elec=state.energy_elec, iteration=state.iteration, e_nuc=e_nuc,
+    )
+
+
+def load_checkpoint(path: str) -> SCFState:
+    z = np.load(path)
+    state = SCFState(
+        H=z["H"], S=z["S"], X=z["X"], nocc=int(z["nocc"]),
+        F=z["F"], D=z["D"], C=z["C"], eps=z["eps"],
+        energy_elec=float(z["energy_elec"]), iteration=int(z["iteration"]),
+    )
+    return state
 
 
 def energy_weighted_density(state: SCFState) -> np.ndarray:
@@ -145,12 +193,20 @@ def initial_state(mol, basis, opts: SCFOptions, timings: Timings, output: int = 
         S, T, V = overlap_kinetic_nuclear(basis, mol)
     H = T + V
     X = linalg.orthogonalizer(S)
+    debug = None
+    if opts.debug:
+        from ..utils.debug_dump import DebugDump
+
+        debug = DebugDump(enabled=True)
+        for key, val in (("overlap", S), ("kinetic", T), ("nuc_attr", V),
+                         ("core_hamiltonian", H), ("ortho", X)):
+            debug.write(key, val)
     nocc = basis.nels // 2
     if basis.nels % 2 != 0:
         raise ValueError(
             f"RHF requires an even number of electrons (got {basis.nels})"
         )
-    state = SCFState(H=H, S=S, X=X, nocc=nocc)
+    state = SCFState(H=H, S=S, X=X, nocc=nocc, debug=debug)
 
     with timings.timed(JCTC.guess_time):
         if opts.guess == C.Guess.sad:

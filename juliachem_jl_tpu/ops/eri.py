@@ -103,17 +103,24 @@ def eri_block(bra: PairBlock, ket: PairBlock, sel_bra, sel_ket, chunk=1024):
 
 def full_eri_tensor(basis: Basis) -> np.ndarray:
     """Dense (mu nu | lam sig) tensor — correctness reference for tiny
-    systems (analog of the reference's debug integral printers)."""
-    from .pairs import cross_pair_blocks
+    systems (analog of the reference's debug integral printers).
+
+    Computes only symmetry-unique quartets (reusing the same canonical
+    class kernels as the screened Fock path) and scatters all 8 index
+    images per block."""
+    from .pairs import unique_pair_blocks
 
     nbf = basis.nbf
     G = np.zeros((nbf, nbf, nbf, nbf))
-    # all ordered pairs per class combination: every quartet computed directly
-    blocks = cross_pair_blocks(basis, basis)
-    for bra in blocks:
-        for ket in blocks:
-            ii, kk = np.meshgrid(np.arange(bra.n), np.arange(ket.n), indexing="ij")
-            sel_b, sel_k = ii.ravel(), kk.ravel()
+    blocks = unique_pair_blocks(basis)
+    for bi, bra in enumerate(blocks):
+        for bj in range(bi, len(blocks)):
+            ket = blocks[bj]
+            if bi == bj:
+                sel_b, sel_k = np.triu_indices(bra.n)
+            else:
+                ii, kk = np.meshgrid(np.arange(bra.n), np.arange(ket.n), indexing="ij")
+                sel_b, sel_k = ii.ravel(), kk.ravel()
             vals = eri_block(bra, ket, sel_b, sel_k)
             nca, ncb = bra.nbf_block
             ncc, ncd = ket.nbf_block
@@ -121,5 +128,15 @@ def full_eri_tensor(basis: Basis) -> np.ndarray:
             for m in range(len(sel_b)):
                 oa, ob = bra.off_a[sel_b[m]], bra.off_b[sel_b[m]]
                 oc, od = ket.off_a[sel_k[m]], ket.off_b[sel_k[m]]
-                G[oa:oa + nca, ob:ob + ncb, oc:oc + ncc, od:od + ncd] = vals[m]
+                v = vals[m]
+                sa, sb = slice(oa, oa + nca), slice(ob, ob + ncb)
+                sc, sd = slice(oc, oc + ncc), slice(od, od + ncd)
+                G[sa, sb, sc, sd] = v
+                G[sb, sa, sc, sd] = v.transpose(1, 0, 2, 3)
+                G[sa, sb, sd, sc] = v.transpose(0, 1, 3, 2)
+                G[sb, sa, sd, sc] = v.transpose(1, 0, 3, 2)
+                G[sc, sd, sa, sb] = v.transpose(2, 3, 0, 1)
+                G[sd, sc, sa, sb] = v.transpose(3, 2, 0, 1)
+                G[sc, sd, sb, sa] = v.transpose(2, 3, 1, 0)
+                G[sd, sc, sb, sa] = v.transpose(3, 2, 1, 0)
     return G

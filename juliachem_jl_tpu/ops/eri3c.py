@@ -9,10 +9,17 @@ reference uses via libint's unit shell).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..basis.structs import Basis, ncart
-from .eri import eri_block
+from .boys import boys
+from .class_tables import combine_tables
+from .eri import TWO_PI_POW_2_5, bra_hermite, eri_block
+from .mcmurchie import r_tensor
 from .pairs import PairBlock, block_scatter_indices, unique_pair_blocks
 
 
@@ -55,40 +62,141 @@ def two_center_metric(aux: Basis) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=None)
+def _threecenter_kernel(la: int, lb: int, lq: int, Ka: int, Kb: int, Kq: int,
+                        nq_pad: int, nbf: int):
+    """Jitted 3-center class kernel: a chunk of bra pairs against ALL aux
+    shells of one class at once.
+
+    Key optimization over quartet-batching: the bra Hermite expansion Eab is
+    computed once per *pair* (not once per pair x aux-shell), and the result
+    block is scattered into the flat B workspace on device — the host (a
+    single core in this environment) never touches integral data.
+    """
+    Lb = la + lb
+    Lk = lq
+    L = Lb + Lk
+    comb, sign = combine_tables(Lb, Lk)
+    nab = ncart(la) * ncart(lb)
+    ncq = ncart(lq)
+    sign = jnp.asarray(sign)
+
+    def f(B3, aexp, bexp, acoef, bcoef, A, B, cols, cols_t, valid, mirror,
+          qexp, qcoef, Qc, rows):
+        # bra pairs
+        Eab, p, P = bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B)
+        # aux shells as (lq, unit) pairs
+        zq = jnp.zeros_like(qexp)
+        Ecd, q, Qcen = bra_hermite(lq, 0, qexp, zq, qcoef, jnp.ones_like(qcoef),
+                                   Qc, Qc)
+        # P: [Pc, K2b, 3]; Qcen: [Nq, Kq, 3]
+        PQ = P[:, :, None, None, :] - Qcen[None, None, :, :, :]
+        psum = p[:, :, None, None] + q[None, None, :, :]
+        alpha = p[:, :, None, None] * q[None, None, :, :] / psum
+        Targ = alpha * jnp.sum(PQ**2, axis=-1)
+        pref = TWO_PI_POW_2_5 / (
+            p[:, :, None, None] * q[None, None, :, :] * jnp.sqrt(psum))
+        F = boys(Targ, L) * pref[..., None]
+        R = r_tensor(L, alpha, PQ, F)            # [Pc,K2b,Nq,Kq,nherm]
+        M = R[..., comb] * sign[None, None, None, None, None, :]
+        # contract aux primitives+hermite: T1[Pc,K2b,h,Nq,c]
+        T1 = jnp.einsum("pkqrhg,qrcg->pkhqc", M, Ecd)
+        out = jnp.einsum("pkah,pkhqc->paqc", Eab, T1)  # [Pc,nab,Nq,ncq]
+        out = out * valid[:, None, None, None]
+        # scatter into flat B3 [A, nbf*nbf] (rows: [Nq, ncq], cols: [Pc, nab])
+        r4 = rows[None, None, :, :]
+        c4 = cols[:, :, None, None]
+        B3 = B3.at[r4, c4].add(out)
+        ct4 = cols_t[:, :, None, None]
+        B3 = B3.at[r4, ct4].add(out * mirror[:, None, None, None])
+        return B3
+
+    return jax.jit(f, donate_argnums=(0,))
+
+
 def three_center_tensor(
     primary: Basis,
     aux: Basis,
     pair_blocks: list[PairBlock] | None = None,
     chunk: int = 2048,
 ) -> np.ndarray:
-    """Dense (A, nbf, nbf) tensor of (Q | mu nu) integrals.
+    """Dense (A, nbf, nbf) tensor of (Q | mu nu) integrals, built on device.
 
     pair_blocks may be pre-screened (Schwarz) unique pair blocks; default is
     all unique pairs.  Both (mu,nu) and (nu,mu) entries are filled.
     """
     A, nbf = aux.nbf, primary.nbf
-    out = np.zeros((A, nbf, nbf))
     if pair_blocks is None:
         pair_blocks = unique_pair_blocks(primary)
+
+    B3 = jnp.zeros((A, nbf * nbf))
     for aux_blk in aux_unit_blocks(aux):
         ncq = ncart(aux_blk.la)
+        nq = aux_blk.n
+        nq_pad = -(-nq // 16) * 16
+        qexp = np.ones((nq_pad, aux_blk.aexp.shape[1]))
+        qcoef = np.zeros((nq_pad, aux_blk.acoef.shape[1]))
+        Qc = np.zeros((nq_pad, 3))
+        rows = np.zeros((nq_pad, ncq), dtype=np.int64)
+        qexp[:nq] = aux_blk.aexp
+        qcoef[:nq] = aux_blk.acoef
+        Qc[:nq] = aux_blk.A
+        rows[:nq] = aux_blk.off_a[:, None] + np.arange(ncq)[None, :]
+        qargs = (jnp.asarray(qexp), jnp.asarray(qcoef), jnp.asarray(Qc),
+                 jnp.asarray(rows))
+
         for pblk in pair_blocks:
             if pblk.n == 0:
                 continue
             nca, ncb = pblk.nbf_block
-            r, c = np.meshgrid(np.arange(pblk.n), np.arange(aux_blk.n), indexing="ij")
-            sel_p, sel_q = r.ravel(), c.ravel()
-            # bra = orbital pair, ket = (aux, unit)
-            vals = eri_block(pblk, aux_blk, sel_p, sel_q, chunk=chunk)
-            vals = vals.reshape(-1, nca, ncb, ncq)
-            ia, ib = block_scatter_indices(pblk)        # [np, nca, ncb]
-            ia, ib = ia[sel_p], ib[sel_p]
-            iq = aux_blk.off_a[sel_q][:, None, None, None] + np.arange(ncq)[None, None, None, :]
-            iq = np.broadcast_to(iq, vals.shape)
-            ia4 = np.broadcast_to(ia[..., None], vals.shape)
-            ib4 = np.broadcast_to(ib[..., None], vals.shape)
-            out[iq, ia4, ib4] = vals
-            off = pblk.ish[sel_p] != pblk.jsh[sel_p]
-            if off.any():
-                out[iq[off], ib4[off], ia4[off]] = vals[off]
-    return out
+            kern = _threecenter_kernel(
+                pblk.la, pblk.lb, aux_blk.la,
+                pblk.aexp.shape[1], pblk.bexp.shape[1], aux_blk.aexp.shape[1],
+                nq_pad, nbf)
+            ia, ib = _pair_bf_indices_flat(pblk)            # [n, nab] each
+            cols = (ia * nbf + ib).astype(np.int64)
+            cols_t = (ib * nbf + ia).astype(np.int64)
+            mirror = (pblk.ish != pblk.jsh).astype(np.float64)
+
+            n = pblk.n
+            # bound the [Pc, K2b, Nq, Kq, nherm] R-tensor working set
+            from .class_tables import nherm as _nherm
+
+            k2b = pblk.aexp.shape[1] * pblk.bexp.shape[1]
+            nh_l = _nherm(pblk.la + pblk.lb + aux_blk.la)
+            budget = 3.0e7
+            csize = int(budget / max(k2b * nq_pad * nh_l, 1))
+            csize = max(16, min(chunk, csize, max(n, 1)))
+            csize = min(csize, max(n, 1)) if n else 1
+            # round to power-of-two-ish bucket to bound compile variants
+            csize = 1 << (csize.bit_length() - 1)
+            for s in range(0, n, csize):
+                e = min(s + csize, n)
+                pads = csize - (e - s)
+
+                def pad(x):
+                    part = x[s:e]
+                    if pads:
+                        part = np.concatenate(
+                            [part, np.repeat(part[:1], pads, axis=0)])
+                    return jnp.asarray(part)
+
+                valid = np.ones(e - s)
+                if pads:
+                    valid = np.concatenate([valid, np.zeros(pads)])
+                B3 = kern(
+                    B3, pad(pblk.aexp), pad(pblk.bexp), pad(pblk.acoef),
+                    pad(pblk.bcoef), pad(pblk.A), pad(pblk.B),
+                    pad(cols), pad(cols_t), jnp.asarray(valid), pad(mirror),
+                    *qargs)
+    return np.asarray(B3).reshape(A, nbf, nbf)
+
+
+def _pair_bf_indices_flat(block: PairBlock):
+    """Flattened per-pair component index arrays [n, nca*ncb]."""
+    nca, ncb = block.nbf_block
+    ia = block.off_a[:, None, None] + np.arange(nca)[None, :, None]
+    ib = block.off_b[:, None, None] + np.arange(ncb)[None, None, :]
+    ia = np.broadcast_to(ia, (block.n, nca, ncb)).reshape(block.n, -1)
+    ib = np.broadcast_to(ib, (block.n, nca, ncb)).reshape(block.n, -1)
+    return ia, ib

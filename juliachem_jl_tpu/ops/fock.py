@@ -100,18 +100,14 @@ def build_quartet_batches(
             kept.append(b.select(keep))
             kept_q.append(q[keep])
 
+    from .native import screened_quartets
+
     batches: list[QuartetBatch] = []
     for i, (bra, qb) in enumerate(zip(kept, kept_q)):
         for j in range(i, len(kept)):
             ket, qk = kept[j], kept_q[j]
             same_block = i == j
-            if same_block:
-                r, c = np.triu_indices(bra.n)
-            else:
-                r, c = np.meshgrid(np.arange(bra.n), np.arange(ket.n), indexing="ij")
-                r, c = r.ravel(), c.ravel()
-            mask = qb[r] * qk[c] >= cutoff
-            r, c = r[mask], c[mask]
+            r, c = screened_quartets(qb, qk, cutoff, same_block)
             if len(r) == 0:
                 continue
             w = np.ones(len(r))
@@ -178,17 +174,34 @@ def _make_digest(la, lb, lc, ld, nbf):
     return jax.jit(f, donate_argnums=(0, 1))
 
 
+INCORE_BUDGET_ELEMENTS = 400_000_000  # ~3.2 GB of f64 ERI blocks
+
+
 class ScreenedDirectFock(FockBuilder):
     """Class-batched, Schwarz-screened direct Fock build (production CPU/TPU
-    conventional path; replaces SCF.jl:665-1054)."""
+    conventional path; replaces SCF.jl:665-1054).
 
-    def __init__(self, basis: Basis, cutoff: float = DEFAULT_CUTOFF, chunk: int = 2048):
+    incore: cache the screened ERI blocks after the first build and reuse
+    them every iteration (in-core SCF — a capability the reference lacks;
+    it is direct-only).  Auto-enabled when the screened integral volume fits
+    the budget."""
+
+    def __init__(self, basis: Basis, cutoff: float = DEFAULT_CUTOFF,
+                 chunk: int = 2048, incore: bool | None = None):
         self.basis = basis
         self.nbf = basis.nbf
         self.chunk = chunk
         self.batches, self.Q = build_quartet_batches(basis, cutoff)
         self._digesters = {}
         self._eri_kerns = {}
+        if incore is None:
+            vol = sum(
+                len(b.sel_bra) * b.idx_ab.shape[1] * b.idx_cd.shape[1]
+                for b in self.batches
+            )
+            incore = vol <= INCORE_BUDGET_ELEMENTS
+        self.incore = incore
+        self._eri_cache: dict[tuple[int, int], object] = {}
 
     def _get_fns(self, b: QuartetBatch):
         key = (b.bra.la, b.bra.lb, b.ket.la, b.ket.lb,
@@ -199,52 +212,71 @@ class ScreenedDirectFock(FockBuilder):
             self._eri_kerns[key] = _eri_kernel(*key)
         return self._eri_kerns[key], self._digesters[key]
 
+    def _chunk_inputs(self, bi: int, s: int):
+        """ERI block + digestion inputs for chunk s of batch bi, cached
+        on-device when incore is enabled."""
+        key = (bi, s)
+        if key in self._eri_cache:
+            return self._eri_cache[key]
+
+        b = self.batches[bi]
+        eri_kern, _ = self._get_fns(b)
+        n = len(b.sel_bra)
+        chunk = min(self.chunk, max(n, 1))
+        e = min(s + chunk, n)
+        sb, sk = b.sel_bra[s:e], b.sel_ket[s:e]
+        w = b.weight[s:e]
+        pads = chunk - (e - s)
+        if pads:
+            sb = np.concatenate([sb, np.repeat(sb[:1], pads)])
+            sk = np.concatenate([sk, np.repeat(sk[:1], pads)])
+            w = np.concatenate([w, np.zeros(pads)])
+
+        def gsl(x, sel):
+            return jnp.asarray(x[sel])
+
+        I = eri_kern(
+            gsl(b.bra.aexp, sb), gsl(b.bra.bexp, sb),
+            gsl(b.bra.acoef, sb), gsl(b.bra.bcoef, sb),
+            gsl(b.bra.A, sb), gsl(b.bra.B, sb),
+            gsl(b.ket.aexp, sk), gsl(b.ket.bexp, sk),
+            gsl(b.ket.acoef, sk), gsl(b.ket.bcoef, sk),
+            gsl(b.ket.A, sk), gsl(b.ket.B, sk),
+        )
+
+        def pad_idx(x):
+            part = x[s:e]
+            if pads:
+                part = np.concatenate([part, np.repeat(part[:1], pads, axis=0)])
+            return jnp.asarray(part)
+
+        out = (
+            I, jnp.asarray(w),
+            pad_idx(b.idx_ab), pad_idx(b.idx_cd),
+            pad_idx(b.idx_ac), pad_idx(b.idx_ad),
+            pad_idx(b.idx_bc), pad_idx(b.idx_bd),
+        )
+        if self.incore:
+            self._eri_cache[key] = out
+        return out
+
     def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
         nbf = self.nbf
         D = jnp.asarray(D)
         J_ws = jnp.zeros(nbf * nbf)
         K_ws = jnp.zeros(nbf * nbf)
-        for b in self.batches:
-            eri_kern, digest = self._get_fns(b)
+        for bi, b in enumerate(self.batches):
+            _, digest = self._get_fns(b)
             n = len(b.sel_bra)
             chunk = min(self.chunk, max(n, 1))
             for s in range(0, n, chunk):
-                e = min(s + chunk, n)
-                sb, sk = b.sel_bra[s:e], b.sel_ket[s:e]
-                w = b.weight[s:e]
-                sl = slice(s, e)
-                pads = chunk - (e - s)
-                if pads:
-                    sb = np.concatenate([sb, np.repeat(sb[:1], pads)])
-                    sk = np.concatenate([sk, np.repeat(sk[:1], pads)])
-                    w = np.concatenate([w, np.zeros(pads)])
-
-                def gsl(x, sel):
-                    return jnp.asarray(x[sel])
-
-                I = eri_kern(
-                    gsl(b.bra.aexp, sb), gsl(b.bra.bexp, sb),
-                    gsl(b.bra.acoef, sb), gsl(b.bra.bcoef, sb),
-                    gsl(b.bra.A, sb), gsl(b.bra.B, sb),
-                    gsl(b.ket.aexp, sk), gsl(b.ket.bexp, sk),
-                    gsl(b.ket.acoef, sk), gsl(b.ket.bcoef, sk),
-                    gsl(b.ket.A, sk), gsl(b.ket.B, sk),
-                )
-
-                def pad_idx(x):
-                    part = x[sl]
-                    if pads:
-                        part = np.concatenate([part, np.repeat(part[:1], pads, axis=0)])
-                    return jnp.asarray(part)
-
-                J_ws, K_ws = digest(
-                    J_ws, K_ws, I, jnp.asarray(w), D,
-                    pad_idx(b.idx_ab), pad_idx(b.idx_cd),
-                    pad_idx(b.idx_ac), pad_idx(b.idx_ad),
-                    pad_idx(b.idx_bc), pad_idx(b.idx_bd),
-                )
+                I, w, *idxs = self._chunk_inputs(bi, s)
+                J_ws, K_ws = digest(J_ws, K_ws, I, w, D, *idxs)
         J = J_ws.reshape(nbf, nbf)
         K = K_ws.reshape(nbf, nbf)
         J = J + J.T
         K = K + K.T
         return np.asarray(J - 0.5 * K)
+
+    def finalize(self):
+        self._eri_cache.clear()

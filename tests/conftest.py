@@ -3,20 +3,25 @@
 Multi-chip TPU hardware is unavailable in CI; sharding correctness is
 validated on XLA's host platform with 8 virtual devices (the TPU analog of
 the reference's real-cluster-only MPI tests, SURVEY.md §4).
+
+Note: in the axon environment, sitecustomize imports jax at interpreter boot
+(before pytest loads this file), so setting os.environ alone is too late —
+we must also update jax.config directly.
 """
 
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
-# Prevent the axon TPU plugin (sitecustomize in /root/.axon_site) from
-# dialing its remote relay during CPU-only test runs — it adds minutes to
-# jax import and is irrelevant off-device.
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

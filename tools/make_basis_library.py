@@ -67,6 +67,10 @@ add("STO-3G", "O", [
     S([130.7093200, 23.8088610, 6.4436083], _sto_c1),
     L([5.0331513, 1.1695961, 0.3803890], _sto_cs2, _sto_cp2),
 ])
+add("STO-3G", "F", [
+    S([166.6791300, 30.3608120, 8.2168207], _sto_c1),
+    L([6.4648032, 1.5022812, 0.4885885], _sto_cs2, _sto_cp2),
+])
 
 # ---------------------------------------------------------------------------
 # 6-31G cores (Hehre/Ditchfield/Pople 1972)
@@ -100,6 +104,15 @@ CORE_631G = {
           [0.0708743, 0.3397528, 0.7271586]),
         L([0.2700058], [1.0], [1.0]),
     ],
+    # F: flagged unverified-vs-goldens (no reference log printout available)
+    "F": [
+        S([7001.7131, 1051.3661, 239.28569, 64.241762, 18.026958, 5.8100430],
+          [0.0018196, 0.0139161, 0.0684053, 0.2331857, 0.4712674, 0.3566185]),
+        L([22.246604, 4.9947933, 1.3464911],
+          [-0.1085069, -0.1464516, 1.1286885],
+          [0.0716287, 0.3459121, 0.7224699]),
+        L([0.3128844], [1.0], [1.0]),
+    ],
 }
 
 # Standard single polarization (6-31G*) and diffuse (6-31+G) exponents.
@@ -121,7 +134,9 @@ for el, shells in CORE_631G.items():
 def _compose(core_el, el, extra):
     return [dict(s) for s in CORE_631G[core_el]] + extra
 
-for el in ["C", "N", "O"]:
+POL_D["F"] = 0.8
+DIFFUSE_SP["F"] = 0.1076
+for el in ["C", "N", "O", "F"]:
     add("6-31G*", el, _compose(el, el, [sh("D", [POL_D[el]])]))
     add("6-31G**", el, _compose(el, el, [sh("D", [POL_D[el]])]))
     add("6-31+G*", el, [dict(CORE_631G[el][0])]
@@ -129,9 +144,10 @@ for el in ["C", "N", "O"]:
         + [L([DIFFUSE_SP[el]], [1.0], [1.0]), sh("D", [POL_D[el]])])
     add("6-31+G**", el, LIB["6-31+G*"][el])
     add("6-31++G**", el, LIB["6-31+G*"][el])
-    add("6-31G(2df,p)", el, _compose(el, el, [
-        sh("D", [POL_2D[el][0]]), sh("D", [POL_2D[el][1]]), sh("F", [POL_F[el]]),
-    ]))
+    if el in POL_2D:
+        add("6-31G(2df,p)", el, _compose(el, el, [
+            sh("D", [POL_2D[el][0]]), sh("D", [POL_2D[el][1]]), sh("F", [POL_F[el]]),
+        ]))
 add("6-31G*", "H", [dict(s) for s in CORE_631G["H"]])
 add("6-31G**", "H", _compose("H", "H", [sh("P", [POL_P_H])]))
 add("6-31+G*", "H", [dict(s) for s in CORE_631G["H"]])
@@ -301,6 +317,7 @@ add("cc-pVDZ-JKFIT", "C", uncontracted(_scaled_dz(_ratio)))
 add("cc-pVDZ-JKFIT", "N", uncontracted(_scaled_dz(_ratio_N)))
 
 META = {
+    "unverified_vs_goldens": [["STO-3G", "F"], ["6-31G", "F"], ["6-31G*", "F"], ["6-31+G*", "F"]],
     "synthesized": [
         ["cc-pVTZ-JKFIT", "N"],
         ["cc-pVDZ-JKFIT", "C"],
