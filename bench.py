@@ -55,10 +55,12 @@ def main():
         file=sys.stderr,
     )
 
+    # convergence matches the reference w7.6 benchmark's own keywords
+    # (example_inputs/Water/7_6/water_7.6.json: dele=1.0, rmsd=2e-5)
     t0 = time.time()
     res = rhf.energy(
         mol, bsets,
-        {"scf_type": "df", "niter": 30, "dele": 1e-8, "rmsd": 1e-6, "guess": "hcore"},
+        {"scf_type": "df", "niter": 50, "dele": 1.0, "rmsd": 2e-5, "guess": "sad"},
     )
     total = time.time() - t0
     timings = res["Timings"].timings

@@ -112,11 +112,15 @@ def scf_loop(
                     D_fock_ref = state.D.copy()
         F = state.H + np.asarray(G)
 
-        # DIIS on e = F D S - S D F (SCF.jl:472-501)
+        # DIIS on e = F D S - S D F (SCF.jl:472-501).  Wild early Fock
+        # matrices (hcore guess on clusters) are kept out of the subspace:
+        # extrapolation starts once the commutator is moderate.
         with timings.timed(JCTC.diis_time, it):
             e_vec = F @ state.D @ state.S - state.S @ state.D @ F
-            diis.push(F, e_vec)
-            F_diis = diis.extrapolate()
+            e_max = float(np.abs(e_vec).max())
+            if e_max < 10.0:
+                diis.push(F, e_vec)
+            F_diis = diis.extrapolate() if diis.size > 0 else F
 
         # dynamic damping for early iterations (SCF.jl:504-505)
         if opts.damp and F_old is not None:

@@ -133,7 +133,8 @@ def three_center_tensor(
     for aux_blk in aux_unit_blocks(aux):
         ncq = ncart(aux_blk.la)
         nq = aux_blk.n
-        nq_pad = -(-nq // 16) * 16
+        # power-of-two padding: one kernel shape serves a 2x size range
+        nq_pad = max(16, 1 << (nq - 1).bit_length())
         qexp = np.ones((nq_pad, aux_blk.aexp.shape[1]))
         qcoef = np.zeros((nq_pad, aux_blk.acoef.shape[1]))
         Qc = np.zeros((nq_pad, 3))

@@ -165,11 +165,19 @@ def overlap_kinetic_nuclear(basis: Basis, mol):
     S = np.zeros((nbf, nbf))
     T = np.zeros((nbf, nbf))
     V = np.zeros((nbf, nbf))
-    coords = jnp.asarray(mol.coords)
-    Z = jnp.asarray(mol.z, dtype=jnp.float64)
+    # pad the atom axis to a bucket so the nuclear-attraction kernel shape
+    # (and hence its compilation) is shared across similar system sizes;
+    # padded atoms have Z=0 and contribute exactly zero
+    natom_pad = max(8, 1 << (mol.natom - 1).bit_length())
+    coords_p = np.zeros((natom_pad, 3))
+    coords_p[: mol.natom] = mol.coords
+    Z_p = np.zeros(natom_pad)
+    Z_p[: mol.natom] = mol.z
+    coords = jnp.asarray(coords_p)
+    Z = jnp.asarray(Z_p)
     for blk in unique_pair_blocks(basis):
         kern = _stv_kernel(blk.la, blk.lb, blk.aexp.shape[1], blk.bexp.shape[1],
-                           mol.natom)
+                           natom_pad)
         s, t, v = _chunked(
             kern, (blk.aexp, blk.bexp, blk.acoef, blk.bcoef, blk.A, blk.B),
             blk.n, extra=(coords, Z),

@@ -7,15 +7,17 @@ water dimer (S2) runs; set JCHEM_SLOW=1 for more systems.
 
 Pass criterion matches the reference: Julia isapprox default
 (rtol = sqrt(eps) ~ 1.49e-8 relative) — test/runtests.jl:62.
+
+Each system runs in a fresh subprocess (see tests/_subproc.py for why).
 """
 
 import json
 import os
 
+import numpy as np
 import pytest
 
-from juliachem_jl_tpu import basis, io, molecule
-from juliachem_jl_tpu.models import properties, rhf
+from tests._subproc import run_python_json
 
 REF = "/root/reference"
 SLOW = os.environ.get("JCHEM_SLOW") == "1"
@@ -25,31 +27,43 @@ with open(f"{REF}/test/s22_gamess_values.json") as f:
 
 SYSTEMS = [2] if not SLOW else [1, 2, 3, 8, 10]
 
+_CODE = """
+import json
+from juliachem_jl_tpu import basis, io, molecule
+from juliachem_jl_tpu.models import properties, rhf
+
+spec = io.read_input("{ref}/example_inputs/S22/{imol:02d}_MP2.json")
+mol = molecule.from_input_dict(spec.molecule)
+bsets = basis.run(mol, spec.model)
+res = rhf.energy(mol, bsets, {{"niter": 60, "dele": 1e-9, "rmsd": 1e-7,
+                               "guess": "sad"}})
+props = properties.run(
+    mol, bsets, res,
+    {{"mo energies": True, "mulliken": True, "multipole": "dipole"}})
+print("RESULT:" + json.dumps({{
+    "energy": res["Energy"],
+    "converged": bool(res["Converged?"]),
+    "homo_lumo": props["MO Energies"]["homo_lumo"],
+    "dipole": props["Dipole"]["moment"],
+    "mulliken": list(props["Mulliken Population"]),
+}}))
+"""
+
 
 @pytest.mark.parametrize("imol", SYSTEMS)
 def test_s22_rhf_energy_vs_gamess(imol):
-    spec = io.read_input(f"{REF}/example_inputs/S22/{imol:02d}_MP2.json")
-    mol = molecule.from_input_dict(spec.molecule)
-    bsets = basis.run(mol, spec.model)
-    res = rhf.energy(mol, bsets, {"niter": 60, "dele": 1e-9, "rmsd": 1e-7})
-    assert res["Converged?"]
-    e_gold = GOLDEN[str(imol)]["Energy"]
-    assert abs(res["Energy"] - e_gold) <= 1.49e-8 * abs(e_gold), (
-        f"S{imol}: {res['Energy']} vs golden {e_gold}"
+    out = run_python_json(_CODE.format(ref=REF, imol=imol))
+    assert out["converged"]
+    g = GOLDEN[str(imol)]
+    e_gold = g["Energy"]
+    assert abs(out["energy"] - e_gold) <= 1.49e-8 * abs(e_gold), (
+        f"S{imol}: {out['energy']} vs golden {e_gold}"
     )
     # properties vs GAMESS (same tolerances as runtests.jl:68-91)
-    props = properties.run(
-        mol, bsets, res,
-        {"mo energies": True, "mulliken": True, "multipole": "dipole"},
-    )
-    gap_gold = GOLDEN[str(imol)]["HOMO-LUMO Gap"]
-    assert abs(props["MO Energies"]["homo_lumo"] - gap_gold) < 5e-4
-    dip_gold = GOLDEN[str(imol)]["Dipole"]
-    if dip_gold == 1.0e-6:
-        assert abs(props["Dipole"]["moment"]) <= 1.0e-6
+    assert abs(out["homo_lumo"] - g["HOMO-LUMO Gap"]) < 5e-4
+    if g["Dipole"] == 1.0e-6:
+        assert abs(out["dipole"]) <= 1.0e-6
     else:
-        assert abs(props["Dipole"]["moment"] - dip_gold) < 5e-5
-    mull_gold = GOLDEN[str(imol)]["Mulliken Population"]
-    import numpy as np
-
-    assert np.abs(props["Mulliken Population"] - np.asarray(mull_gold)).max() < 5e-6
+        assert abs(out["dipole"] - g["Dipole"]) < 5e-5
+    assert np.abs(np.asarray(out["mulliken"])
+                  - np.asarray(g["Mulliken Population"])).max() < 5e-6
