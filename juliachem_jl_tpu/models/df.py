@@ -84,6 +84,19 @@ def df_fock_kernel(B, D, Cocc):
     return J - Khalf
 
 
+@jax.jit
+def df_fock_kernel_f32(B32, D, Cocc):
+    """f32 fast path for early SCF iterations (mixed-precision SCF).
+
+    TPU f64 is software-emulated; far from convergence the Fock matrix only
+    needs ~1e-4 accuracy, so the J/K contractions run on the native-f32 MXU
+    path (~10x the emulated-f64 rate).  The driver guarantees the final
+    iterations (and hence the converged energy) run in f64.
+    """
+    G32 = df_fock_kernel(B32, D.astype(jnp.float32), Cocc.astype(jnp.float32))
+    return G32.astype(jnp.float64)
+
+
 class DFFockBuilder(FockBuilder):
     """Dense (single-device) DF Fock builder — the TPU analog of the
     reference's DenseGPUDF.jl path, with screening applied to the 3-center
@@ -94,6 +107,9 @@ class DFFockBuilder(FockBuilder):
         self.aux = auxiliary
         self.nbf = primary.nbf
         self.B = jnp.asarray(build_B(primary, auxiliary, opts, timings))
+        self.mixed = bool(getattr(opts, "mixed_precision", True)) if opts is not None else True
+        self.B32 = self.B.astype(jnp.float32) if self.mixed else None
+        self.supports_f32_phase = self.mixed
 
     def _occ_coeff(self, D, C_occ):
         if C_occ is not None:
@@ -103,9 +119,13 @@ class DFFockBuilder(FockBuilder):
         keep = w > 1e-12
         return jnp.asarray(U[:, keep] * np.sqrt(0.5 * w[keep])[None, :])
 
-    def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
+    def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None,
+                          precision: str = "f64"):
         Cocc = self._occ_coeff(D, C_occ)
+        if precision == "f32" and self.B32 is not None:
+            return np.asarray(df_fock_kernel_f32(self.B32, jnp.asarray(D), Cocc))
         return np.asarray(df_fock_kernel(self.B, jnp.asarray(D), Cocc))
 
     def finalize(self):
         self.B = None
+        self.B32 = None

@@ -28,9 +28,16 @@ def roothaan_step(F, X, nocc: int):
 
     F' = X^T F X; eigh -> (eps, C'); C = X C'; D = 2 C_occ C_occ^T.
     Returns (eps, C, D).
+
+    The eigensolve runs on host LAPACK: XLA's f64 eigh on TPU leaves
+    eigenvector residuals ~5e-7 (measured |AV-VW| on a 184x184 symmetric
+    matrix), which floors SCF density convergence near 1e-6; LAPACK gives
+    1e-13.  The O(mu^3) cost is negligible against the Fock build.
     """
+    F = np.asarray(F)
+    X = np.asarray(X)
     Fp = X.T @ F @ X
-    eps, Cp = jnp.linalg.eigh(Fp)
+    eps, Cp = np.linalg.eigh(Fp)
     C = X @ Cp
     Cocc = C[:, :nocc]
     D = 2.0 * (Cocc @ Cocc.T)

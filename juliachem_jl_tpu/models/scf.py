@@ -86,6 +86,8 @@ def scf_loop(
     last_dE = 1.0e9
     G_cumul = None
     D_fock_ref = None
+    supports_f32 = getattr(fock_builder, "supports_f32_phase", False)
+    fp32_phase = bool(opts.mixed_precision and supports_f32 and not opts.fdiff)
     converged = False
 
     if output >= 2:
@@ -96,6 +98,11 @@ def scf_loop(
         state.iteration = it
 
         C_occ = state.C[:, : state.nocc] if state.C is not None else None
+        # mixed-precision phase control: leave f32 once |dE| is small (and
+        # never converge from an f32 iteration)
+        if fp32_phase and abs(last_dE) < opts.mixed_precision_switch:
+            fp32_phase = False
+        precision = "f32" if fp32_phase else "f64"
         with timings.timed(JCTC.fock_time, it):
             if opts.fdiff and G_cumul is not None:
                 # incremental Fock: build with dD, accumulate (SCF.jl:421-431)
@@ -105,8 +112,10 @@ def scf_loop(
                 D_fock_ref = state.D.copy()
                 G = G_cumul
             else:
+                kwargs = {"precision": precision} if supports_f32 else {}
                 G = np.asarray(
-                    fock_builder.two_electron_fock(state.D, it, timings, C_occ))
+                    fock_builder.two_electron_fock(state.D, it, timings, C_occ,
+                                                   **kwargs))
                 if opts.fdiff:
                     G_cumul = G
                     D_fock_ref = state.D.copy()
@@ -157,8 +166,13 @@ def scf_loop(
             save_checkpoint(state, checkpoint_path, e_nuc)
 
         if abs(dE) <= dele and d_rms <= rmsd:
-            converged = True
-            break
+            if fp32_phase:
+                # never declare convergence off an f32 Fock: drop to f64 and
+                # keep iterating
+                fp32_phase = False
+            else:
+                converged = True
+                break
 
     if checkpoint_path:
         save_checkpoint(state, checkpoint_path, e_nuc)

@@ -165,31 +165,29 @@ def three_center_tensor(
 
             k2b = pblk.aexp.shape[1] * pblk.bexp.shape[1]
             nh_l = _nherm(pblk.la + pblk.lb + aux_blk.la)
-            budget = 3.0e7
+            budget = 1.2e8
             csize = int(budget / max(k2b * nq_pad * nh_l, 1))
             csize = max(16, min(chunk, csize, max(n, 1)))
-            csize = min(csize, max(n, 1)) if n else 1
-            # round to power-of-two-ish bucket to bound compile variants
+            # round to power-of-two bucket to bound compile variants
             csize = 1 << (csize.bit_length() - 1)
-            for s in range(0, n, csize):
-                e = min(s + csize, n)
-                pads = csize - (e - s)
 
-                def pad(x):
-                    part = x[s:e]
-                    if pads:
-                        part = np.concatenate(
-                            [part, np.repeat(part[:1], pads, axis=0)])
-                    return jnp.asarray(part)
+            # pre-pad the whole block once (host work is serial here)
+            n_pad = -(-n // csize) * csize
+            arrays = [pblk.aexp, pblk.bexp, pblk.acoef, pblk.bcoef,
+                      pblk.A, pblk.B, cols, cols_t,
+                      np.ones(n), mirror]
+            padded = []
+            for x in arrays:
+                if n_pad != n:
+                    fill = np.repeat(x[:1], n_pad - n, axis=0)
+                    if x is arrays[8]:  # valid mask: pads are invalid
+                        fill = np.zeros(n_pad - n)
+                    x = np.concatenate([x, fill], axis=0)
+                padded.append(x)
 
-                valid = np.ones(e - s)
-                if pads:
-                    valid = np.concatenate([valid, np.zeros(pads)])
-                B3 = kern(
-                    B3, pad(pblk.aexp), pad(pblk.bexp), pad(pblk.acoef),
-                    pad(pblk.bcoef), pad(pblk.A), pad(pblk.B),
-                    pad(cols), pad(cols_t), jnp.asarray(valid), pad(mirror),
-                    *qargs)
+            for s in range(0, n_pad, csize):
+                B3 = kern(B3, *(jnp.asarray(x[s:s + csize]) for x in padded),
+                          *qargs)
     return np.asarray(B3).reshape(A, nbf, nbf)
 
 

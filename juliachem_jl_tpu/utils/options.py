@@ -31,6 +31,11 @@ class SCFOptions:
     fdiff: bool = C.FDIFF_DEFAULT
     damp: bool = True
     debug: bool = False
+    # mixed-precision SCF: f32 Fock builds far from convergence, guaranteed
+    # f64 for the final iterations (TPU-native optimization; no reference
+    # analog — CUDA hardware had native f64)
+    mixed_precision: bool = True
+    mixed_precision_switch: float = 1.0e-4
 
     def to_dict(self):
         return asdict(self)
@@ -65,6 +70,9 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
     opts.df_use_adaptive = bool(f.get(C.DeviceAlgorithms.df_use_adaptive, opts.df_use_adaptive))
     opts.num_devices = int(f.get(C.DeviceAlgorithms.num_devices, opts.num_devices))
     opts.ndiis = int(f.get(C.NDIIS, opts.ndiis))
+    opts.mixed_precision = bool(f.get("mixed_precision", opts.mixed_precision))
+    opts.mixed_precision_switch = float(
+        f.get("mixed_precision_switch", opts.mixed_precision_switch))
     opts.fdiff = bool(f.get(C.FDIFF, opts.fdiff))
     opts.damp = bool(f.get(C.DAMP, opts.damp))
     opts.debug = bool(f.get(C.DEBUG, opts.debug))
