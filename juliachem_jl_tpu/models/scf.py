@@ -88,6 +88,7 @@ def scf_loop(
     D_fock_ref = None
     supports_f32 = getattr(fock_builder, "supports_f32_phase", False)
     fp32_phase = bool(opts.mixed_precision and supports_f32 and not opts.fdiff)
+    last_drms = 1.0e9
     converged = False
 
     if output >= 2:
@@ -98,9 +99,11 @@ def scf_loop(
         state.iteration = it
 
         C_occ = state.C[:, : state.nocc] if state.C is not None else None
-        # mixed-precision phase control: leave f32 once |dE| is small (and
-        # never converge from an f32 iteration)
-        if fp32_phase and abs(last_dE) < opts.mixed_precision_switch:
+        # mixed-precision phase control: leave f32 once the density step is
+        # small (scale-free criterion), or after half the iteration budget
+        # (and never converge from an f32 iteration)
+        if fp32_phase and (last_drms < opts.mixed_precision_switch
+                           or it > niter // 2):
             fp32_phase = False
         precision = "f32" if fp32_phase else "f64"
         with timings.timed(JCTC.fock_time, it):
@@ -146,6 +149,7 @@ def scf_loop(
         dE = E_elec - E_old
         last_dE = dE
         d_rms = float(np.sqrt(np.mean((D - D_old) ** 2))) if D_old is not None else 1.0
+        last_drms = d_rms
 
         state.F, state.D, state.C, state.eps = F, D, Cmo, eps
         state.energy_elec = E_elec

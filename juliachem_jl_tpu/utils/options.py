@@ -35,7 +35,10 @@ class SCFOptions:
     # f64 for the final iterations (TPU-native optimization; no reference
     # analog — CUDA hardware had native f64)
     mixed_precision: bool = True
-    mixed_precision_switch: float = 1.0e-4
+    # switch f32 -> f64 when the density rms step drops below this (density
+    # is scale-free; total-energy deltas grow with system size and drown in
+    # f32 noise)
+    mixed_precision_switch: float = 1.0e-3
 
     def to_dict(self):
         return asdict(self)
