@@ -1,1 +1,1 @@
-from . import rhf, scf, properties, mp2  # noqa: F401
+from . import rhf, scf, properties, mp2, gradient  # noqa: F401

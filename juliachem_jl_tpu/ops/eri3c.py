@@ -171,23 +171,42 @@ def three_center_tensor(
             # round to power-of-two bucket to bound compile variants
             csize = 1 << (csize.bit_length() - 1)
 
-            # pre-pad the whole block once (host work is serial here)
-            n_pad = -(-n // csize) * csize
             arrays = [pblk.aexp, pblk.bexp, pblk.acoef, pblk.bcoef,
                       pblk.A, pblk.B, cols, cols_t,
                       np.ones(n), mirror]
-            padded = []
-            for x in arrays:
-                if n_pad != n:
-                    fill = np.repeat(x[:1], n_pad - n, axis=0)
-                    if x is arrays[8]:  # valid mask: pads are invalid
-                        fill = np.zeros(n_pad - n)
-                    x = np.concatenate([x, fill], axis=0)
-                padded.append(x)
 
-            for s in range(0, n_pad, csize):
-                B3 = kern(B3, *(jnp.asarray(x[s:s + csize]) for x in padded),
-                          *qargs)
+            done = 0  # quartet rows already scattered (restart-safe retries)
+            while done < n:
+                # pre-pad the whole block once (host work is serial here)
+                n_pad = -(-n // csize) * csize
+                padded = []
+                for x in arrays:
+                    if n_pad != n:
+                        fill = np.repeat(x[:1], n_pad - n, axis=0)
+                        if x is arrays[8]:  # valid mask: pads are invalid
+                            fill = np.zeros(n_pad - n)
+                        x = np.concatenate([x, fill], axis=0)
+                    padded.append(x)
+                try:
+                    for s in range(done, n_pad, csize):
+                        B3 = kern(
+                            B3, *(jnp.asarray(x[s:s + csize]) for x in padded),
+                            *qargs)
+                        done = min(s + csize, n)
+                    break
+                except Exception:
+                    # remote TPU compile helper can fail on very large kernel
+                    # working sets; back off to smaller chunks (new csize
+                    # divides old, so `done` stays chunk-aligned)
+                    if csize <= 32:
+                        raise
+                    csize //= 4
+                    import warnings
+
+                    warnings.warn(
+                        f"3-center kernel compile failed for class "
+                        f"(la={pblk.la},lb={pblk.lb},lq={aux_blk.la}); "
+                        f"retrying with chunk {csize}", stacklevel=2)
     return np.asarray(B3).reshape(A, nbf, nbf)
 
 
