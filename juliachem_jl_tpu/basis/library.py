@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from functools import lru_cache
 
 _DATA_PATH = os.path.join(os.path.dirname(__file__), "data", "basis_library.json")
@@ -23,22 +24,44 @@ def _library() -> dict:
         return json.load(f)
 
 
+@lru_cache(maxsize=1)
+def _casefold_index() -> dict:
+    """casefolded basis name -> stored name (so 'cc-pvdz' finds 'cc-pVDZ')."""
+    return {k.casefold(): k for k in _library() if k != "__meta__"}
+
+
 def available_sets() -> list[str]:
     return [k for k in _library() if k != "__meta__"]
+
+
+def _quality_warning(basis_name: str, element: str) -> None:
+    meta = _library().get("__meta__", {})
+    for kind, msg in (
+        ("approximate", "is approximate (known deviation vs GAMESS goldens)"),
+        ("synthesized", "was synthesized (no published table available)"),
+        ("unverified_vs_goldens", "is unverified against any golden"),
+    ):
+        if [basis_name, element] in meta.get(kind, []):
+            warnings.warn(
+                f"basis data for {element}/{basis_name} {msg}; "
+                f"energies may deviate from published values",
+                stacklevel=3,
+            )
 
 
 def lookup(element: str, basis_name: str) -> list[dict]:
     """Return the shell list for (element, basis) or raise KeyError."""
     lib = _library()
-    for key in (basis_name, basis_name.upper(), basis_name.lower()):
-        if key in lib:
-            entry = lib[key]
-            if element in entry:
-                return entry[element]
-            raise KeyError(
-                f"element {element} not in basis set {basis_name} "
-                f"(have {sorted(entry)})"
-            )
+    key = _casefold_index().get(basis_name.casefold())
+    if key is not None:
+        entry = lib[key]
+        if element in entry:
+            _quality_warning(key, element)
+            return entry[element]
+        raise KeyError(
+            f"element {element} not in basis set {basis_name} "
+            f"(have {sorted(entry)})"
+        )
     raise KeyError(
         f"basis set {basis_name!r} not in library (have {available_sets()})"
     )

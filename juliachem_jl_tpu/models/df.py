@@ -85,6 +85,21 @@ def df_fock_kernel(B, D, Cocc):
 
 
 @jax.jit
+def df_fock_kernel_signed(B, D, Cocc, s):
+    """G = J - K/2 for a possibly *indefinite* D factorized as
+    D = 2 sum_k s_k c_k c_k^T with s_k = ±1 (incremental-Fock dD is
+    indefinite; K is linear in D so K[dD] = K[dD+] - K[dD-])."""
+    A, nbf = B.shape[0], B.shape[1]
+    Bm = B.reshape(A, nbf * nbf)
+    V = Bm @ D.reshape(-1)
+    J = (V @ Bm).reshape(nbf, nbf)
+    W = jnp.einsum("qmn,mi->qin", B, Cocc)
+    Ws = W * s[None, :, None]
+    Khalf = jnp.einsum("qim,qin->mn", Ws, W)
+    return J - Khalf
+
+
+@jax.jit
 def df_fock_kernel_f32(B32, D, Cocc):
     """f32 fast path for early SCF iterations (mixed-precision SCF).
 
@@ -111,17 +126,33 @@ class DFFockBuilder(FockBuilder):
         self.B32 = self.B.astype(jnp.float32) if self.mixed else None
         self.supports_f32_phase = self.mixed
 
-    def _occ_coeff(self, D, C_occ):
-        if C_occ is not None:
-            return jnp.asarray(C_occ)
-        # factorize D = sum_k lambda_k u u^T (needed for C-free guesses like SAD)
+    def _signed_factor(self, D):
+        """Signed eigen-factorization D = 2 sum_k s_k c_k c_k^T, s_k = ±1.
+
+        Correct for indefinite D (incremental-Fock density differences),
+        where keeping only positive eigenvalues silently drops the negative
+        exchange contributions.  Columns are padded to a multiple of 32 so
+        rank changes across fdiff iterations don't force recompiles."""
         w, U = np.linalg.eigh(np.asarray(D))
-        keep = w > 1e-12
-        return jnp.asarray(U[:, keep] * np.sqrt(0.5 * w[keep])[None, :])
+        keep = np.abs(w) > 1e-12
+        wk, Uk = w[keep], U[:, keep]
+        C = Uk * np.sqrt(0.5 * np.abs(wk))[None, :]
+        s = np.sign(wk)
+        k = C.shape[1]
+        kp = -(-max(k, 1) // 32) * 32
+        if kp != k:
+            C = np.pad(C, ((0, 0), (0, kp - k)))
+            s = np.pad(s, (0, kp - k))
+        return jnp.asarray(C), jnp.asarray(s)
 
     def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None,
                           precision: str = "f64"):
-        Cocc = self._occ_coeff(D, C_occ)
+        if C_occ is None:
+            # C-free entry (SAD guess, or an indefinite fdiff dD)
+            Cs, s = self._signed_factor(D)
+            return np.asarray(
+                df_fock_kernel_signed(self.B, jnp.asarray(D), Cs, s))
+        Cocc = jnp.asarray(C_occ)
         if precision == "f32" and self.B32 is not None:
             return np.asarray(df_fock_kernel_f32(self.B32, jnp.asarray(D), Cocc))
         return np.asarray(df_fock_kernel(self.B, jnp.asarray(D), Cocc))

@@ -1,0 +1,83 @@
+"""Multi-device DF Fock builder: the production sharded path.
+
+Wires num_devices (SCF keyword, Constants.jl GPUAlgorithms.num_devices analog)
+into rhf.energy: B is built with per-shard Q-row blocks
+(parallel/build.py, GPUDF.jl:828-1008 analog) and every per-iteration Fock
+runs as one shard_map over the mesh with psum-reduced J/K partials
+(parallel/shard.py::make_packed_fock_step, the MPI.Allreduce! analog).
+
+Per-device HBM holds A_pad/ndev rows of packed B — the memory axis that lets
+the aux dimension scale with the mesh (the reference's whole reason for
+GPUDF's device partition).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..utils.timings import JCTC, Timings
+from .scf import FockBuilder
+
+
+class ShardedDFFockBuilder(FockBuilder):
+    """Packed screened-pq DF Fock over a jax.sharding.Mesh."""
+
+    supports_f32_phase = False  # sharded path runs f64-only for now
+
+    def __init__(self, primary, auxiliary, opts=None,
+                 timings: Timings | None = None):
+        import jax
+
+        from ..parallel import mesh as mesh_mod
+        from ..parallel.build import build_B_packed_sharded
+        from ..parallel.shard import make_packed_fock_step
+
+        timings = timings or Timings()
+        n = int(getattr(opts, "num_devices", 1) or 1)
+        if n > len(jax.devices()):
+            raise ValueError(
+                f"num_devices={n} requested but only {len(jax.devices())} "
+                f"devices visible (set XLA_FLAGS="
+                f"--xla_force_host_platform_device_count for CPU testing)"
+            )
+        self.mesh = mesh_mod.make_mesh(n)
+        self.nbf = primary.nbf
+        B_sh, screen, A_pad, qc, n_chunks = build_B_packed_sharded(
+            primary, auxiliary, self.mesh, opts, timings)
+        self.B = B_sh
+        self.screen = screen
+        self._fock = make_packed_fock_step(
+            self.mesh, A_pad, screen.npq + 1, self.nbf, qc, n_chunks)
+        self._col_map = jnp.asarray(screen.col_map)
+        self._pq_flat = jnp.asarray(screen.pq_flat)
+        timings.non_timing_data[JCTC.gpu_num_devices] = str(n)
+
+    def _signed_factor(self, D):
+        w, U = np.linalg.eigh(np.asarray(D))
+        keep = np.abs(w) > 1e-12
+        wk, Uk = w[keep], U[:, keep]
+        Cs = Uk * np.sqrt(0.5 * np.abs(wk))[None, :]
+        s = np.sign(wk)
+        k = Cs.shape[1]
+        kp = -(-max(k, 1) // 32) * 32
+        if kp != k:
+            Cs = np.pad(Cs, ((0, 0), (0, kp - k)))
+            s = np.pad(s, (0, kp - k))
+        return jnp.asarray(Cs), jnp.asarray(s)
+
+    def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None,
+                          precision: str = "f64"):
+        if C_occ is None:
+            Cs, s = self._signed_factor(D)
+        else:
+            Cs = jnp.asarray(C_occ)
+            s = jnp.ones(Cs.shape[1])
+        d = jnp.concatenate([
+            jnp.asarray(D).reshape(-1)[self._pq_flat], jnp.zeros(1)])
+        with timings.timed(JCTC.fock_time + "_device", iteration):
+            G = self._fock(self.B, d, Cs, s, self._col_map, self._pq_flat)
+        return np.asarray(G)
+
+    def finalize(self):
+        self.B = None

@@ -23,14 +23,37 @@ def _make_fock_builder(basis_sets, opts, prefer_df: bool, timings=None):
 
     if prefer_df:
         from .df import DFFockBuilder
+        from .df_screened import ScreenedDFFockBuilder
 
         if basis_sets.auxiliary is None:
             raise ValueError(
                 "density-fitted SCF requires an auxiliary basis "
                 "(model['auxiliary_basis'])"
             )
-        return DFFockBuilder(basis_sets.primary, basis_sets.auxiliary, opts,
-                             timings=timings)
+        # contraction-mode routing (reference DensityFitting.jl:51-66):
+        #   num_devices > 1 — sharded packed B over the device mesh
+        #   dense    — full [A, nbf, nbf] B resident on device
+        #   screened — packed screened-pq B, Q-blocked exchange, optional
+        #              host-streamed f64 (the scale path)
+        #   default  — dense while it fits comfortably in HBM, else screened
+        if opts.num_devices > 1:
+            from .df_sharded import ShardedDFFockBuilder
+
+            return ShardedDFFockBuilder(
+                basis_sets.primary, basis_sets.auxiliary, opts,
+                timings=timings)
+        nbf, A = basis_sets.primary.nbf, basis_sets.auxiliary.nbf
+        dense_bytes = A * nbf * nbf * 8
+        mode = opts.contraction_mode
+        force_dense = opts.df_force_dense
+        use_screened = (
+            mode == C.ContractionMode.screened
+            or (mode == C.ContractionMode.default and not force_dense
+                and dense_bytes > 4.0e9)
+        )
+        cls = ScreenedDFFockBuilder if use_screened else DFFockBuilder
+        return cls(basis_sets.primary, basis_sets.auxiliary, opts,
+                   timings=timings)
     if opts.contraction_mode == C.ContractionMode.dense and basis_sets.primary.nbf <= 160:
         return DenseFock(basis_sets.primary)
     return ScreenedDirectFock(basis_sets.primary)
@@ -58,9 +81,10 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         print_scf_options(opts)
 
     e_nuc = mol.nuclear_repulsion()
+    fingerprint = scf_mod.system_fingerprint(mol, primary)
     restart_path = scf_flags.get("restart")
     if restart_path:
-        state = scf_mod.load_checkpoint(restart_path)
+        state = scf_mod.load_checkpoint(restart_path, fingerprint, e_nuc)
     else:
         state = scf_mod.initial_state(mol, primary, opts, timings, output)
     checkpoint_path = scf_flags.get("checkpoint")
@@ -86,6 +110,7 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         state, fock_builder, opts, timings, e_nuc, output,
         checkpoint_path=checkpoint_path,
         checkpoint_every=int(scf_flags.get("checkpoint_every", 5)),
+        fingerprint=fingerprint,
     )
     fock_builder.finalize()
     if state.debug is not None:

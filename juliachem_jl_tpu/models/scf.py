@@ -70,6 +70,7 @@ def scf_loop(
     density_convergence: float | None = None,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 5,
+    fingerprint: str = "",
 ):
     """Iterate to convergence; returns True if converged.
 
@@ -167,7 +168,7 @@ def scf_loop(
             print(f"{it:4d} {E_elec + e_nuc:20.10f} {dE:12.3e} {d_rms:12.3e} {t_el:8.2f}")
 
         if checkpoint_path and (it % checkpoint_every == 0):
-            save_checkpoint(state, checkpoint_path, e_nuc)
+            save_checkpoint(state, checkpoint_path, e_nuc, fingerprint)
 
         if abs(dE) <= dele and d_rms <= rmsd:
             if fp32_phase:
@@ -179,22 +180,51 @@ def scf_loop(
                 break
 
     if checkpoint_path:
-        save_checkpoint(state, checkpoint_path, e_nuc)
+        save_checkpoint(state, checkpoint_path, e_nuc, fingerprint)
     return converged
 
 
-def save_checkpoint(state: SCFState, path: str, e_nuc: float) -> None:
+def system_fingerprint(mol, basis) -> str:
+    """Hash of geometry + basis identity for checkpoint consistency checks."""
+    import hashlib
+
+    h = hashlib.sha256()
+    h.update(np.ascontiguousarray(mol.coords, dtype=np.float64).tobytes())
+    h.update(np.ascontiguousarray(mol.z, dtype=np.int64).tobytes())
+    name = getattr(basis, "name", "")
+    h.update(f"{name}|{basis.nbf}|{basis.nels}".encode())
+    return h.hexdigest()
+
+
+def save_checkpoint(state: SCFState, path: str, e_nuc: float,
+                    fingerprint: str = "") -> None:
     """Persist restartable SCF state (a capability the reference lacks —
     its 'Restart data is being output' banner writes nothing, SCF.jl:205-207)."""
     np.savez_compressed(
         path, H=state.H, S=state.S, X=state.X, F=state.F, D=state.D,
         C=state.C, eps=state.eps, nocc=state.nocc,
         energy_elec=state.energy_elec, iteration=state.iteration, e_nuc=e_nuc,
+        fingerprint=np.bytes_(fingerprint.encode()),
     )
 
 
-def load_checkpoint(path: str) -> SCFState:
+def load_checkpoint(path: str, expect_fingerprint: str | None = None,
+                    expect_e_nuc: float | None = None) -> SCFState:
     z = np.load(path)
+    if expect_fingerprint is not None and "fingerprint" in z:
+        stored = bytes(z["fingerprint"]).decode()
+        if stored and stored != expect_fingerprint:
+            raise ValueError(
+                f"checkpoint {path!r} was written for a different "
+                f"molecule/basis (fingerprint mismatch); refusing to restart"
+            )
+    if expect_e_nuc is not None:
+        if abs(float(z["e_nuc"]) - expect_e_nuc) > 1e-8:
+            raise ValueError(
+                f"checkpoint {path!r} nuclear repulsion "
+                f"{float(z['e_nuc'])!r} != current {expect_e_nuc!r}; "
+                f"geometry changed — refusing to restart"
+            )
     state = SCFState(
         H=z["H"], S=z["S"], X=z["X"], nocc=int(z["nocc"]),
         F=z["F"], D=z["D"], C=z["C"], eps=z["eps"],

@@ -119,17 +119,30 @@ def three_center_tensor(
     aux: Basis,
     pair_blocks: list[PairBlock] | None = None,
     chunk: int = 2048,
+    col_map: np.ndarray | None = None,
+    packed_width: int | None = None,
 ) -> np.ndarray:
-    """Dense (A, nbf, nbf) tensor of (Q | mu nu) integrals, built on device.
+    """(Q | mu nu) integrals, built on device.
 
     pair_blocks may be pre-screened (Schwarz) unique pair blocks; default is
     all unique pairs.  Both (mu,nu) and (nu,mu) entries are filled.
+
+    Dense mode (col_map None): returns (A, nbf, nbf).
+    Packed mode: col_map is an int64 [nbf*nbf] lookup mapping flat (mu,nu) to
+    a packed screened-pq column (ScreenedDF.jl:16-77 sparse_pq_index_map
+    analog), with screened-out entries pointing at a trash column
+    npq = col_map.max(); returns (A, npq+1) with the trash column zeroed.
     """
     A, nbf = aux.nbf, primary.nbf
     if pair_blocks is None:
         pair_blocks = unique_pair_blocks(primary)
 
-    B3 = jnp.zeros((A, nbf * nbf))
+    packed = col_map is not None
+    if packed:
+        width = packed_width if packed_width is not None else int(col_map.max()) + 1
+    else:
+        width = nbf * nbf
+    B3 = jnp.zeros((A, width))
     for aux_blk in aux_unit_blocks(aux):
         ncq = ncart(aux_blk.la)
         nq = aux_blk.n
@@ -157,6 +170,9 @@ def three_center_tensor(
             ia, ib = _pair_bf_indices_flat(pblk)            # [n, nab] each
             cols = (ia * nbf + ib).astype(np.int64)
             cols_t = (ib * nbf + ia).astype(np.int64)
+            if packed:
+                cols = col_map[cols]
+                cols_t = col_map[cols_t]
             mirror = (pblk.ish != pblk.jsh).astype(np.float64)
 
             n = pblk.n
@@ -194,11 +210,13 @@ def three_center_tensor(
                             *qargs)
                         done = min(s + csize, n)
                     break
-                except Exception:
+                except Exception as exc:
                     # remote TPU compile helper can fail on very large kernel
                     # working sets; back off to smaller chunks (new csize
-                    # divides old, so `done` stays chunk-aligned)
-                    if csize <= 32:
+                    # divides old, so `done` stays chunk-aligned).  Only
+                    # compile/resource failures are retryable — numerical or
+                    # shape bugs must surface.
+                    if not _is_compile_or_resource_error(exc) or csize <= 32:
                         raise
                     csize //= 4
                     import warnings
@@ -207,7 +225,26 @@ def three_center_tensor(
                         f"3-center kernel compile failed for class "
                         f"(la={pblk.la},lb={pblk.lb},lq={aux_blk.la}); "
                         f"retrying with chunk {csize}", stacklevel=2)
+    if packed:
+        B3 = B3.at[:, -1].set(0.0)  # trash column (screened-out scatter target)
+        return np.asarray(B3)
     return np.asarray(B3).reshape(A, nbf, nbf)
+
+
+def _is_compile_or_resource_error(exc: Exception) -> bool:
+    """True for XLA compile/OOM-class failures (retryable with smaller
+    chunks); False for everything else (real bugs must propagate)."""
+    try:
+        from jax.errors import JaxRuntimeError
+    except ImportError:  # older jax
+        from jaxlib.xla_extension import XlaRuntimeError as JaxRuntimeError
+    msg = str(exc).upper()
+    markers = ("RESOURCE_EXHAUSTED", "RESOURCEEXHAUSTED", "OUT OF MEMORY",
+               "COMPILE", "COMPILATION", "DEADLINE_EXCEEDED", "UNAVAILABLE",
+               "INTERNAL")
+    return isinstance(exc, (JaxRuntimeError, MemoryError)) and any(
+        m in msg for m in markers
+    )
 
 
 def _pair_bf_indices_flat(block: PairBlock):

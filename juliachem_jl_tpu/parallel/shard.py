@@ -93,3 +93,52 @@ def make_scf_step(mesh: Mesh, A_pad: int, nbf: int, nbf_pad: int, nocc: int):
 def shard_B(mesh: Mesh, B):
     """Place a [A_pad, nbf, nbf_pad] B tensor with the production sharding."""
     return jax.device_put(B, NamedSharding(mesh, P("q", None, "k")))
+
+
+def make_packed_fock_step(mesh: Mesh, A_pad: int, npq1: int, nbf: int,
+                          q_chunk: int, n_chunks: int):
+    """Jitted sharded G = J - K/2 on *packed* screened-pq B
+    (the multi-device analog of models/df_screened.py; replaces the
+    reference's GPUDF.jl per-device W/J/K with one shard_map).
+
+    B layout: [A_pad, npq+1] sharded P(("q","k"), None) — every device owns
+    n_chunks x q_chunk complete Q rows.  Per device, a lax.scan over Q-blocks
+    expands each block to a dense tile (one gather on col_map), accumulating
+    the J/K partials; one psum over the whole mesh finishes the reduction
+    (MPI.Allreduce! analog, DensityFitting.jl:68-71).
+
+    Signature: fock(B, d_packed [npq+1], Cs [nbf,k], s [k], col_map, pq_flat)
+    with D = 2 sum_k s_k c_k c_k^T (s = +1 for ordinary occupied orbitals;
+    ±1 for indefinite fdiff densities).
+    """
+    axes = ("q", "k")
+
+    def local_fock(B_blk, d, Cs, s, col_map, pq_flat):
+        Br = B_blk.reshape(n_chunks, q_chunk, npq1)
+        Khalf0 = jnp.zeros((nbf, nbf))
+        Jp0 = jnp.zeros(npq1)
+
+        def body(carry, Bc):
+            Khalf, Jp = carry
+            Vc = Bc @ d
+            Jp = Jp + Vc @ Bc
+            tile = Bc[:, col_map].reshape(q_chunk, nbf, nbf)
+            W = jnp.einsum("qmn,mi->qin", tile, Cs)
+            Ws = W * s[None, :, None]
+            Khalf = Khalf + jnp.einsum("qim,qin->mn", Ws, W)
+            return (Khalf, Jp), 0
+
+        (Khalf, Jp), _ = jax.lax.scan(body, (Khalf0, Jp0), Br)
+        Khalf = jax.lax.psum(Khalf, axes)
+        Jp = jax.lax.psum(Jp, axes)
+        J = jnp.zeros(nbf * nbf).at[pq_flat].set(Jp[:-1]).reshape(nbf, nbf)
+        return J - Khalf
+
+    fock = shard_map(
+        local_fock,
+        mesh=mesh,
+        in_specs=(P(("q", "k"), None), P(), P(), P(), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fock)

@@ -56,7 +56,7 @@ class ContractionMode:
     applies Schwarz block masks (the TPU analog of sparse pq indexing)."""
 
     key = "contraction_mode"
-    default = "screened"
+    default = "default"   # auto: dense DF while B fits HBM, else screened/packed
     dense = "dense"
     screened = "screened"
 

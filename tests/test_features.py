@@ -50,6 +50,42 @@ def test_fdiff_incremental_fock(mol):
     assert abs(r["Energy"] - E_REF) < 1e-8
 
 
+def test_fdiff_with_df_builder(mol):
+    """fdiff passes an *indefinite* dD to the Fock builder; the DF builder's
+    signed eigenfactorization must keep the exchange increments exact
+    (round-1 advisor finding: the positive-only factorization silently gave
+    -76.47 instead of -74.96 here)."""
+    b = _b(mol, "STO-3G", aux="cc-pVDZ-JKFIT")
+    r_plain = rhf.energy(mol, b, {**TIGHT, "scf_type": "df"})
+    r_fdiff = rhf.energy(mol, b, {**TIGHT, "scf_type": "df", "fdiff": True})
+    assert r_plain["Converged?"] and r_fdiff["Converged?"]
+    assert abs(r_fdiff["Energy"] - r_plain["Energy"]) < 1e-7
+
+
+def test_checkpoint_rejects_wrong_system(mol, tmp_path_factory):
+    """Restarting with a different molecule/basis must be refused
+    (round-1 advisor finding: silently produced meaningless energies)."""
+    d = tmp_path_factory.mktemp("ckx")
+    ck = str(d / "ck.npz")
+    b = _b(mol)
+    rhf.energy(mol, b, {**TIGHT, "niter": 2, "checkpoint": ck})
+    other = molecule.from_input_dict({
+        "symbols": ["O", "H", "H"],
+        "geometry": [0.0, 0.0, 0.3, 0.0, 0.8, -0.5, 0.0, -0.8, -0.5],
+    })
+    b2 = _b(other)
+    with pytest.raises(ValueError, match="refusing to restart"):
+        rhf.energy(other, b2, {**TIGHT, "restart": ck})
+
+
+def test_basis_lookup_casefold_and_warnings():
+    from juliachem_jl_tpu.basis import library
+
+    assert library.lookup("O", "cc-pvdz") == library.lookup("O", "cc-pVDZ")
+    with pytest.warns(UserWarning, match="approximate"):
+        library.lookup("N", "6-31G")
+
+
 def test_sad_guess(mol):
     b = _b(mol)
     r = rhf.energy(mol, b, {**TIGHT, "guess": "sad"})
