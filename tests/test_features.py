@@ -82,8 +82,8 @@ def test_basis_lookup_casefold_and_warnings():
     from juliachem_jl_tpu.basis import library
 
     assert library.lookup("O", "cc-pvdz") == library.lookup("O", "cc-pVDZ")
-    with pytest.warns(UserWarning, match="approximate"):
-        library.lookup("N", "6-31G")
+    with pytest.warns(UserWarning, match="unverified"):
+        library.lookup("F", "6-31G")
 
 
 def test_sad_guess(mol):

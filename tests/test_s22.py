@@ -25,7 +25,7 @@ SLOW = os.environ.get("JCHEM_SLOW") == "1"
 with open(f"{REF}/test/s22_gamess_values.json") as f:
     GOLDEN = json.load(f)
 
-SYSTEMS = [2] if not SLOW else [1, 2, 3, 8, 10]
+SYSTEMS = [1, 2] if not SLOW else list(range(1, 23))
 
 _CODE = """
 import json
@@ -50,15 +50,31 @@ print("RESULT:" + json.dumps({{
 """
 
 
+_DF_CODE = """
+import json
+from juliachem_jl_tpu import basis, io, molecule
+from juliachem_jl_tpu.basis import CalculationBasisSets
+from juliachem_jl_tpu.models import rhf
+
+spec = io.read_input("{ref}/example_inputs/S22/{imol:02d}_MP2.json")
+mol = molecule.from_input_dict(spec.molecule)
+import warnings
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    bsets = CalculationBasisSets(
+        basis.build(mol, spec.model["basis"]),
+        basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", spec.model["basis"]),
+    )
+res = rhf.energy(mol, bsets, {{"scf_type": "df", "niter": 60, "dele": 1e-9,
+                               "rmsd": 1e-7, "guess": "sad"}})
+print("RESULT:" + json.dumps({{
+    "energy": res["Energy"], "converged": bool(res["Converged?"]),
+}}))
+"""
+
+
 @pytest.mark.parametrize("imol", SYSTEMS)
 def test_s22_rhf_energy_vs_gamess(imol):
-    if imol in (1, 4, 5, 6, 7, 12, 13, 15, 21, 22):
-        # nitrogen-containing systems: the exact N 6-31G valence data is not
-        # recoverable from any artifact in this environment (see
-        # tools/make_basis_library.py); the shipped values are approximate.
-        # N itself is golden-validated at 6-311++G(2d,2p) via the GAMESS
-        # ammonia_trimer output (tests/test_s22x3.py).
-        pytest.xfail("N 6-31G basis data approximate (no exact source available)")
     out = run_python_json(_CODE.format(ref=REF, imol=imol))
     assert out["converged"]
     g = GOLDEN[str(imol)]
@@ -74,3 +90,12 @@ def test_s22_rhf_energy_vs_gamess(imol):
         assert abs(out["dipole"] - g["Dipole"]) < 5e-5
     assert np.abs(np.asarray(out["mulliken"])
                   - np.asarray(g["Mulliken Population"])).max() < 5e-6
+
+
+@pytest.mark.parametrize("imol", SYSTEMS if SLOW else [2])
+def test_s22_df_vs_gamess(imol):
+    """DF-RHF (cc-pVTZ-JKFIT) within 1.5e-3 Eh of the GAMESS conventional
+    energy (reference test/runtests.jl:63)."""
+    out = run_python_json(_DF_CODE.format(ref=REF, imol=imol))
+    assert out["converged"]
+    assert abs(out["energy"] - GOLDEN[str(imol)]["Energy"]) <= 1.5e-3

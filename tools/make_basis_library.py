@@ -88,16 +88,13 @@ CORE_631G = {
           [0.0689991, 0.3164240, 0.7443083]),
         L([0.1687144], [1.0], [1.0]),
     ],
-    # N 6-31G: APPROXIMATE.  No exact source is available in this
-    # environment (no reference log prints an N 6-31G block and the GAMESS
-    # outputs committed in the reference are 6-311-basis only).  The valence
-    # values below follow the C/O Z-scaling pattern and give the smallest
-    # observed deviation from the S1 GAMESS golden (-0.07 Eh); flagged in
-    # __meta__ and S1 is an expected failure until exact data is sourced.
+    # N 6-31G: published Hehre/Ditchfield/Pople 1972 values (standard
+    # distribution digits), validated against the S22 GAMESS goldens for the
+    # nitrogen-containing systems (S1 ammonia dimer et al.).
     "N": [
-        S([4173.5110, 627.45790, 142.90210, 42.323330, 14.409220, 5.0693000],
+        S([4173.5110, 627.45790, 142.90210, 40.234330, 12.820210, 4.3904370],
           [0.0018348, 0.0139950, 0.0685870, 0.2322410, 0.4690700, 0.3604550]),
-        L([11.747660, 2.6109330, 0.7568960],
+        L([11.626358, 2.7162800, 0.7722180],
           [-0.1149610, -0.1691180, 1.1458520],
           [0.0675800, 0.3239070, 0.7408950]),
         L([0.2120313], [1.0], [1.0]),
@@ -110,14 +107,17 @@ CORE_631G = {
           [0.0708743, 0.3397528, 0.7271586]),
         L([0.2700058], [1.0], [1.0]),
     ],
-    # F: flagged unverified-vs-goldens (no reference log printout available)
+    # F 6-31G: published Hehre/Ditchfield/Pople 1972 values (standard
+    # distribution digits).  Still flagged unverified-vs-goldens: no
+    # F-containing golden exists in this environment (S22 has no fluorine).
     "F": [
-        S([7001.7131, 1051.3661, 239.28569, 64.241762, 18.026958, 5.8100430],
-          [0.0018196, 0.0139161, 0.0684053, 0.2331857, 0.4712674, 0.3566185]),
-        L([22.246604, 4.9947933, 1.3464911],
-          [-0.1085069, -0.1464516, 1.1286885],
-          [0.0716287, 0.3459121, 0.7224699]),
-        L([0.3128844], [1.0], [1.0]),
+        S([7001.71309, 1051.36609, 239.285692, 67.3974453, 21.5199573, 7.40310130],
+          [0.0018196169, 0.0139160796, 0.0684053245, 0.2331857600,
+           0.4712674390, 0.3566185460]),
+        L([20.8479528, 4.80830834, 1.34406986],
+          [-0.108506975, -0.146451658, 1.128688580],
+          [0.0716287243, 0.3459121030, 0.7224699570]),
+        L([0.358151393], [1.0], [1.0]),
     ],
 }
 
@@ -338,9 +338,12 @@ add("cc-pVDZ-JKFIT", "C", uncontracted(_scaled_dz(_ratio)))
 add("cc-pVDZ-JKFIT", "N", uncontracted(_scaled_dz(_ratio_N)))
 
 META = {
+    # F carries the published 6-31G values but no F-containing golden exists
+    # in this environment to cross-check against (S22 is H/C/N/O only).
     "unverified_vs_goldens": [["STO-3G", "F"], ["6-31G", "F"], ["6-31G*", "F"], ["6-31+G*", "F"]],
-    "approximate": [["6-31G", "N"], ["6-31G*", "N"], ["6-31+G*", "N"],
-                    ["6-31G(2df,p)", "N"]],
+    # N 6-31G family now carries the published Hehre/Ditchfield/Pople values,
+    # golden-validated via the nitrogen-containing S22 systems.
+    "approximate": [],
     "synthesized": [
         ["cc-pVTZ-JKFIT", "N"],
         ["cc-pVDZ-JKFIT", "C"],

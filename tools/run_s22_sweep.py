@@ -1,0 +1,150 @@
+"""Full S22 sweep: all 22 systems, conventional RHF and DF-RHF, vs GAMESS.
+
+The single gated command mirroring the reference CI matrix
+(test/runtests.jl:55-91): per system asserts
+  - RHF energy vs golden at 1.49e-8 relative,
+  - dipole atol 5e-5 (zero-dipole 1e-6), HOMO-LUMO atol 5e-4,
+    Mulliken atol 5e-6,
+  - DF-RHF (cc-pVTZ-JKFIT) within 1.5e-3 Eh of the golden.
+
+Each system runs in a fresh interpreter (long-lived processes accumulate XLA
+compile state).  Writes S22_RESULTS.json at the repo root.
+
+Usage: python tools/run_s22_sweep.py [first_n] [--df-only|--conv-only]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = "/root/reference"
+
+_CONV = """
+import json
+from juliachem_jl_tpu import basis, io, molecule
+from juliachem_jl_tpu.models import properties, rhf
+
+spec = io.read_input("{ref}/example_inputs/S22/{imol:02d}_MP2.json")
+mol = molecule.from_input_dict(spec.molecule)
+bsets = basis.run(mol, spec.model)
+res = rhf.energy(mol, bsets, {{"niter": 60, "dele": 1e-9, "rmsd": 1e-7,
+                               "guess": "sad"}})
+props = properties.run(
+    mol, bsets, res,
+    {{"mo energies": True, "mulliken": True, "multipole": "dipole"}})
+print("RESULT:" + json.dumps({{
+    "energy": res["Energy"], "converged": bool(res["Converged?"]),
+    "iters": res["Iterations"],
+    "homo_lumo": props["MO Energies"]["homo_lumo"],
+    "dipole": props["Dipole"]["moment"],
+    "mulliken": list(props["Mulliken Population"]),
+}}))
+"""
+
+_DF = """
+import json, warnings
+from juliachem_jl_tpu import basis, io, molecule
+from juliachem_jl_tpu.basis import CalculationBasisSets
+from juliachem_jl_tpu.models import rhf
+
+spec = io.read_input("{ref}/example_inputs/S22/{imol:02d}_MP2.json")
+mol = molecule.from_input_dict(spec.molecule)
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    bsets = CalculationBasisSets(
+        basis.build(mol, spec.model["basis"]),
+        basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", spec.model["basis"]),
+    )
+res = rhf.energy(mol, bsets, {{"scf_type": "df", "niter": 60, "dele": 1e-9,
+                               "rmsd": 1e-7, "guess": "sad"}})
+print("RESULT:" + json.dumps({{
+    "energy": res["Energy"], "converged": bool(res["Converged?"]),
+    "iters": res["Iterations"],
+}}))
+"""
+
+
+def run_one(code: str, timeout: int = 7200) -> dict:
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    t0 = time.time()
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    dt = time.time() - t0
+    for line in proc.stdout.splitlines():
+        if line.startswith("RESULT:"):
+            out = json.loads(line[len("RESULT:"):])
+            out["wall_s"] = round(dt, 1)
+            return out
+    return {"error": proc.stderr[-800:], "rc": proc.returncode,
+            "wall_s": round(dt, 1)}
+
+
+def main():
+    n = 22
+    modes = ["conv", "df"]
+    for arg in sys.argv[1:]:
+        if arg == "--df-only":
+            modes = ["df"]
+        elif arg == "--conv-only":
+            modes = ["conv"]
+        else:
+            n = int(arg)
+
+    with open(f"{REF}/test/s22_gamess_values.json") as f:
+        golden = json.load(f)
+
+    path = os.path.join(REPO, "S22_RESULTS.json")
+    results = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            results = json.load(f)
+
+    for imol in range(1, n + 1):
+        g = golden[str(imol)]
+        key = str(imol)
+        results.setdefault(key, {})
+        for mode in modes:
+            if mode in results[key] and results[key][mode].get("pass"):
+                continue  # resume support
+            code = (_CONV if mode == "conv" else _DF).format(ref=REF, imol=imol)
+            out = run_one(code)
+            if "error" in out:
+                out["pass"] = False
+            elif mode == "conv":
+                ok = (out["converged"]
+                      and abs(out["energy"] - g["Energy"]) <= 1.49e-8 * abs(g["Energy"])
+                      and abs(out["homo_lumo"] - g["HOMO-LUMO Gap"]) < 5e-4)
+                if g["Dipole"] == 1.0e-6:
+                    ok = ok and abs(out["dipole"]) <= 1.0e-6
+                else:
+                    ok = ok and abs(out["dipole"] - g["Dipole"]) < 5e-5
+                mull = [abs(a - b) for a, b in
+                        zip(out["mulliken"], g["Mulliken Population"])]
+                ok = ok and max(mull) < 5e-6
+                out["pass"] = bool(ok)
+                out["e_err"] = out["energy"] - g["Energy"]
+            else:
+                out["pass"] = bool(out["converged"]
+                                   and abs(out["energy"] - g["Energy"]) <= 1.5e-3)
+                out["e_err_vs_golden"] = out["energy"] - g["Energy"]
+            results[key][mode] = out
+            with open(path, "w") as f:
+                json.dump(results, f, indent=1)
+            status = "PASS" if out.get("pass") else "FAIL"
+            print(f"S{imol:02d} {mode:4s} {status} "
+                  f"E={out.get('energy', float('nan')):.10f} "
+                  f"({out['wall_s']}s)", flush=True)
+
+    npass = sum(1 for v in results.values() for m in v.values() if m.get("pass"))
+    ntot = sum(len(v) for v in results.values())
+    print(f"\n{npass}/{ntot} passed -> {path}")
+
+
+if __name__ == "__main__":
+    main()
