@@ -27,7 +27,9 @@ import time
 
 import numpy as np
 
-NW = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+# default w16 (368 bf / 2656 aux): beyond the round-1 single-chip ceiling
+# (w12) thanks to the packed screened-pq B + chunked metric solve
+NW = int(sys.argv[1]) if len(sys.argv) > 1 else 16
 REF_SECONDS_PER_ITER_W64 = 2316.0 / 33.0
 
 
@@ -69,13 +71,24 @@ def main():
     steady = fock_times[1:] if len(fock_times) > 2 else fock_times
     fock_per_iter = float(np.mean(steady))
 
-    ref_scaled = REF_SECONDS_PER_ITER_W64 * (NW / 64.0) ** 2
-    out = {
-        "metric": f"df_rhf_fock_build_s_per_iter_w{NW}_631+Gstar",
-        "value": round(fock_per_iter, 4),
-        "unit": "s",
-        "vs_baseline": round(ref_scaled / fock_per_iter, 3),
-    }
+    if NW == 64:
+        # the direct same-system headline: reference w7.6 total benchmark
+        # time 2316.0 s (112-thread Skylake, BASELINE.md) vs our DF
+        # time-to-converged at the reference's own convergence keywords
+        out = {
+            "metric": "rhf_w7.6_time_to_converged_s_631+Gstar",
+            "value": round(total, 1),
+            "unit": "s",
+            "vs_baseline": round(2316.0 / total, 3),
+        }
+    else:
+        ref_scaled = REF_SECONDS_PER_ITER_W64 * (NW / 64.0) ** 2
+        out = {
+            "metric": f"df_rhf_fock_build_s_per_iter_w{NW}_631+Gstar",
+            "value": round(fock_per_iter, 4),
+            "unit": "s",
+            "vs_baseline": round(ref_scaled / fock_per_iter, 3),
+        }
     print(
         f"# E={res['Energy']:.8f} converged={res['Converged?']} "
         f"iters={res['Iterations']} total={total:.1f}s fock/iter={fock_per_iter:.3f}s",

@@ -52,6 +52,11 @@ def initialize(force: bool = False) -> None:
         return
     import jax
 
+    # multi-host (DCN) runtime bring-up when a cluster environment is
+    # present — the MPI.Init() analog (no-op single-host)
+    from .parallel.mesh import initialize_distributed
+
+    initialize_distributed()
     jax.devices()  # touch the backend
     _initialized = True
 

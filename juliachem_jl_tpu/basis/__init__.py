@@ -68,8 +68,30 @@ def build_auxiliary(mol, aux_name: str, primary_name: str) -> Basis:
     return compile_basis(shells, nels=0, name=aux_name)
 
 
+def register_basis_file(path: str, name: str | None = None) -> str:
+    """Load a GAMESS-US format basis file and register it for lookup.
+
+    Returns the registered basis name (the file stem when not given).
+    Covers any element — the escape hatch for elements beyond the bundled
+    library's exact-data coverage (see basis/external.py)."""
+    import os
+
+    from . import external
+
+    data = external.load_basis_file(path)
+    if name is None:
+        name = os.path.splitext(os.path.basename(path))[0]
+    library.register(name, data)
+    return name
+
+
 def run(mol, model: dict, output: int = 0) -> CalculationBasisSets:
     """API parity with JCBasis.run(molecule, model) (JCBasis.jl:39-219)."""
+    if model.get("basis_file"):
+        register_basis_file(model["basis_file"], model["basis"])
+    if model.get("auxiliary_basis_file"):
+        register_basis_file(
+            model["auxiliary_basis_file"], model.get("auxiliary_basis"))
     primary = build(mol, model["basis"])
     aux = None
     if model.get("auxiliary_basis"):

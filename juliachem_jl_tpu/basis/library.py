@@ -49,8 +49,25 @@ def _quality_warning(basis_name: str, element: str) -> None:
             )
 
 
+# runtime-registered basis data (external GAMESS-US files etc.); consulted
+# before the built-in library so users can override/extend element coverage
+_overlay: dict[str, dict[str, list]] = {}
+
+
+def register(basis_name: str, data: dict[str, list]) -> None:
+    """Register (or extend) a basis set at runtime.
+
+    data: {element_symbol: shell list} in the library's internal form
+    (see basis/external.py for the GAMESS-US file reader)."""
+    entry = _overlay.setdefault(basis_name.casefold(), {})
+    entry.update(data)
+
+
 def lookup(element: str, basis_name: str) -> list[dict]:
     """Return the shell list for (element, basis) or raise KeyError."""
+    over = _overlay.get(basis_name.casefold())
+    if over is not None and element in over:
+        return over[element]
     lib = _library()
     key = _casefold_index().get(basis_name.casefold())
     if key is not None:

@@ -65,10 +65,20 @@ def build_B(primary, aux, opts=None, timings: Timings | None = None) -> np.ndarr
     with timings.timed(JCTC.B_time):
         L = np.linalg.cholesky(metric)
         A, nbf = aux.nbf, primary.nbf
-        B = np.asarray(
-            solve_triangular(jnp.asarray(L), jnp.asarray(P3.reshape(A, -1)), lower=True)
-        ).reshape(A, nbf, nbf)
-    return B
+        # column-chunked (XLA's emulated-f64 triangular solve materializes
+        # ~12x the RHS in HBM temps; see df_screened.build_B_packed)
+        from .df_screened import SOLVE_CHUNK_BUDGET
+
+        Lj = jnp.asarray(L)
+        B = P3.reshape(A, -1)
+        if not (isinstance(B, np.ndarray) and B.flags.writeable
+                and B.flags.c_contiguous):
+            B = np.array(B)
+        cb = max(1024, int(SOLVE_CHUNK_BUDGET / (8 * A)))
+        for s in range(0, B.shape[1], cb):
+            B[:, s:s + cb] = np.asarray(solve_triangular(
+                Lj, jnp.asarray(B[:, s:s + cb]), lower=True))
+    return B.reshape(A, nbf, nbf)
 
 
 @jax.jit

@@ -77,12 +77,27 @@ def build_packed_screen(primary, pair_blocks) -> PackedScreen:
     return PackedScreen(nbf=nbf, npq=npq, pq_flat=pq_flat, col_map=col_map)
 
 
+# above this size the full packed tensor cannot live on device during the
+# build — assemble it in host RAM from aux-row blocks instead, and run the
+# metric solve over column chunks (ScreenedDF.jl's multi-rank B distribution
+# :134-225 collapses to this blocked single-chip pipeline + parallel/build.py
+# for the multi-device version)
+HUGE_BUILD_BUDGET = 5.0e9
+
+# RHS bytes per triangular-solve chunk; XLA's f64-on-TPU solve needs ~12x
+# this in HBM temps, so 8e8 keeps the solve under ~10 GB
+SOLVE_CHUNK_BUDGET = 8.0e8
+
+
 def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
     """Packed B[A, npq+1] with the metric folded in, plus the screen maps.
 
     Same pipeline as df.build_B (2-center metric -> screening -> 3-center ->
     triangular solve) but the 3-center tensor is scattered directly into
-    packed columns — the dense [A, nbf, nbf] intermediate never exists."""
+    packed columns — the dense [A, nbf, nbf] intermediate never exists.
+    When even the packed tensor exceeds the device-build budget, it is
+    assembled block-by-block in host RAM (the single-chip "huge" mode that
+    unlocks w48+)."""
     from ..ops import eri3c
     from .df import screened_pair_blocks
 
@@ -94,16 +109,44 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
         pair_blocks = screened_pair_blocks(
             primary, sigma, float(np.diag(metric).max()))
         screen = build_packed_screen(primary, pair_blocks)
+    npq1 = screen.npq + 1
+    A = aux.nbf
+    huge = A * npq1 * 8 > HUGE_BUILD_BUDGET
     with timings.timed(JCTC.three_center_time):
-        P3 = eri3c.three_center_tensor(
-            primary, aux, pair_blocks, col_map=screen.col_map,
-            packed_width=screen.npq + 1)
+        if huge:
+            from ..parallel.build import partition_aux_shells, subset_basis
+
+            n_blocks = int(np.ceil(A * npq1 * 8 / HUGE_BUILD_BUDGET))
+            P3 = np.empty((A, npq1))
+            row = 0
+            for s0, s1 in partition_aux_shells(aux, n_blocks):
+                if s0 == s1:
+                    continue
+                sub = subset_basis(aux, range(s0, s1))
+                P3[row:row + sub.nbf] = eri3c.three_center_tensor(
+                    primary, sub, pair_blocks, col_map=screen.col_map,
+                    packed_width=npq1)
+                row += sub.nbf
+        else:
+            P3 = eri3c.three_center_tensor(
+                primary, aux, pair_blocks, col_map=screen.col_map,
+                packed_width=npq1)
     with timings.timed(JCTC.B_time):
         from jax.scipy.linalg import solve_triangular
 
         L = np.linalg.cholesky(metric)
-        B = np.array(
-            solve_triangular(jnp.asarray(L), jnp.asarray(P3), lower=True))
+        # column-chunked solve in place: only [A, chunk] on device at a
+        # time.  XLA's f64-emulated triangular solve materializes several
+        # working copies of the RHS (measured ~12x at w16 -> 19.5 GB HBM
+        # for the full-width solve), so chunking is required well before
+        # the huge-build threshold.
+        Lj = jnp.asarray(L)
+        cb = max(1024, int(SOLVE_CHUNK_BUDGET / (8 * A)))
+        B = P3 if isinstance(P3, np.ndarray) and P3.flags.writeable \
+            else np.array(P3)
+        for s in range(0, npq1, cb):
+            B[:, s:s + cb] = np.asarray(solve_triangular(
+                Lj, jnp.asarray(B[:, s:s + cb]), lower=True))
         B[:, -1] = 0.0
     return B, screen
 
@@ -147,11 +190,49 @@ def _jk_chunk_signed(Khalf, Jp, Bc, Vc, col_map, Cs, s):
     return Khalf, Jp
 
 
+@partial(jax.jit, static_argnums=(7,))
+def _jk_chunk_lower(Kup, Jp, Bc, Vc, col_map, Cs, s, nb):
+    """Q-block of the J/K pass with lower-triangular K column-blocking
+    (ScreenedDF.jl:459-641 analog): only the nb(nb+1)/2 upper block products
+    are computed, cutting the dominant W^T W gemm FLOPs by ~2x at scale.
+    Handles both the C_occ (s=1) and signed-density (fdiff dD) cases."""
+    nbf = Cs.shape[0]
+    Jp = Jp + Vc @ Bc
+    tile = Bc[:, col_map].reshape(-1, nbf, nbf)
+    W = jnp.einsum("qmn,mi->qin", tile, Cs)        # [qc, k, nbf]
+    M = W.shape[0] * W.shape[1]
+    kb = -(-nbf // nb)
+    pad = nb * kb - nbf
+    Wm = W.reshape(M, nbf)
+    Wsm = (W * s[None, :, None]).reshape(M, nbf)
+    if pad:
+        Wm = jnp.pad(Wm, ((0, 0), (0, pad)))
+        Wsm = jnp.pad(Wsm, ((0, 0), (0, pad)))
+    W2 = Wm.reshape(M, nb, kb)
+    Ws2 = Wsm.reshape(M, nb, kb)
+    for I in range(nb):
+        for J in range(I, nb):
+            Kup = Kup.at[I * kb:(I + 1) * kb, J * kb:(J + 1) * kb].add(
+                Ws2[:, I, :].T @ W2[:, J, :])
+    return Kup, Jp
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _finalize_G(Khalf, Jp, nbf, pq_flat):
     Jp = Jp.astype(jnp.float64)
     J = jnp.zeros(nbf * nbf).at[pq_flat].set(Jp[:-1]).reshape(nbf, nbf)
     return J - Khalf.astype(jnp.float64)
+
+
+@partial(jax.jit, static_argnums=(2, 4))
+def _finalize_G_blocked(Kup, Jp, nbf, pq_flat, kb):
+    """Mirror the upper block triangle (diagonal blocks counted once)."""
+    idx = jnp.arange(Kup.shape[0]) // kb
+    bd = idx[:, None] == idx[None, :]
+    Kfull = Kup + Kup.T - jnp.where(bd, Kup, 0.0)
+    Jp = Jp.astype(jnp.float64)
+    J = jnp.zeros(nbf * nbf).at[pq_flat].set(Jp[:-1]).reshape(nbf, nbf)
+    return J - Kfull[:nbf, :nbf].astype(jnp.float64)
 
 
 # ---------------------------------------------------------------- builder
@@ -192,14 +273,19 @@ class ScreenedDFFockBuilder(FockBuilder):
             self.B_host = B  # f64 stays in host RAM
             self.B = None
             # f32 copy resident in HBM for the cheap phase (half the bytes);
-            # if even that overflows, stream f32 too
+            # if even that overflows, _iter_blocks streams host blocks cast
+            # to f32 per iteration instead
             self.B32 = (jnp.asarray(B.astype(np.float32))
                         if b_bytes // 2 <= self.DEVICE_B_BUDGET else None)
         else:
             self.B_host = None
             self.B = jnp.asarray(B)
             self.B32 = self.B.astype(jnp.float32) if self.mixed else None
-        self.supports_f32_phase = self.mixed and (self.B32 is not None)
+        self.supports_f32_phase = self.mixed and (
+            self.B32 is not None or self.stream)
+        # lower-triangular K column blocking pays once the W^T W gemm
+        # dominates (ScreenedDF.jl:459-641's K_block_width analog)
+        self.k_blocks = 4 if self.nbf >= 1024 else 1
         self._col_map = jnp.asarray(screen.col_map)
         self._pq_flat = jnp.asarray(screen.pq_flat)
 
@@ -239,7 +325,7 @@ class ScreenedDFFockBuilder(FockBuilder):
 
     def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None,
                           precision: str = "f64"):
-        use_f32 = precision == "f32" and self.B32 is not None
+        use_f32 = precision == "f32" and self.supports_f32_phase
         dt = "f32" if use_f32 else "f64"
         fdt = jnp.float32 if use_f32 else jnp.float64
         d = self._gather_d(D)
@@ -257,19 +343,35 @@ class ScreenedDFFockBuilder(FockBuilder):
             Vs = [_v_chunk(blk, d) for blk in self._iter_blocks(dt)]
             Vs[-1].block_until_ready()
 
-        Khalf = jnp.zeros((nbf, nbf), dtype=fdt)
+        nb = self.k_blocks
         Jp = jnp.zeros(self.screen.npq + 1, dtype=fdt)
         with timings.timed(JCTC.K_time, iteration):
-            for blk, Vc in zip(self._iter_blocks(dt), Vs):
-                if signed:
-                    Khalf, Jp = _jk_chunk_signed(
-                        Khalf, Jp, blk, Vc, self._col_map, Cs, s)
-                else:
-                    Khalf, Jp = _jk_chunk(
-                        Khalf, Jp, blk, Vc, self._col_map, Cocc)
-            Khalf.block_until_ready()
+            if nb > 1:
+                kb = -(-nbf // nb)
+                Kup = jnp.zeros((nb * kb, nb * kb), dtype=fdt)
+                if not signed:
+                    Cs = Cocc
+                    s = jnp.ones(Cocc.shape[1], dtype=fdt)
+                for blk, Vc in zip(self._iter_blocks(dt), Vs):
+                    Kup, Jp = _jk_chunk_lower(
+                        Kup, Jp, blk, Vc, self._col_map, Cs, s, nb)
+                Kup.block_until_ready()
+            else:
+                Khalf = jnp.zeros((nbf, nbf), dtype=fdt)
+                for blk, Vc in zip(self._iter_blocks(dt), Vs):
+                    if signed:
+                        Khalf, Jp = _jk_chunk_signed(
+                            Khalf, Jp, blk, Vc, self._col_map, Cs, s)
+                    else:
+                        Khalf, Jp = _jk_chunk(
+                            Khalf, Jp, blk, Vc, self._col_map, Cocc)
+                Khalf.block_until_ready()
         with timings.timed(JCTC.J_time, iteration):
-            G = np.asarray(_finalize_G(Khalf, Jp, nbf, self._pq_flat))
+            if nb > 1:
+                G = np.asarray(_finalize_G_blocked(
+                    Kup, Jp, nbf, self._pq_flat, -(-nbf // nb)))
+            else:
+                G = np.asarray(_finalize_G(Khalf, Jp, nbf, self._pq_flat))
         return G
 
     def finalize(self):

@@ -49,9 +49,22 @@ class ShardedDFFockBuilder(FockBuilder):
         self.screen = screen
         self._fock = make_packed_fock_step(
             self.mesh, A_pad, screen.npq + 1, self.nbf, qc, n_chunks)
+        self.profile = bool(getattr(opts, "profile_fock", False))
+        if self.profile:
+            from ..parallel.shard import make_packed_fock_phases
+
+            self._j_fn, self._k_fn = make_packed_fock_phases(
+                self.mesh, A_pad, screen.npq + 1, self.nbf, qc, n_chunks)
         self._col_map = jnp.asarray(screen.col_map)
         self._pq_flat = jnp.asarray(screen.pq_flat)
         timings.non_timing_data[JCTC.gpu_num_devices] = str(n)
+        # per-device telemetry (JCTiming GPU-key analog): each mesh device
+        # owns A_pad/n rows of packed B
+        rows = A_pad // n
+        for dev in range(n):
+            timings.non_timing_data[f"device_B_rows-DEVICE-{dev}"] = str(rows)
+            timings.non_timing_data[f"device_B_bytes-DEVICE-{dev}"] = str(
+                rows * (screen.npq + 1) * 8)
 
     def _signed_factor(self, D):
         w, U = np.linalg.eigh(np.asarray(D))
@@ -75,6 +88,15 @@ class ShardedDFFockBuilder(FockBuilder):
             s = jnp.ones(Cs.shape[1])
         d = jnp.concatenate([
             jnp.asarray(D).reshape(-1)[self._pq_flat], jnp.zeros(1)])
+        if self.profile:
+            # per-phase telemetry (reference JCTiming J/K per-iteration keys)
+            with timings.timed(JCTC.J_time, iteration):
+                J = self._j_fn(self.B, d, self._pq_flat)
+                J.block_until_ready()
+            with timings.timed(JCTC.K_time, iteration):
+                Khalf = self._k_fn(self.B, Cs, s, self._col_map)
+                Khalf.block_until_ready()
+            return np.asarray(J - Khalf)
         with timings.timed(JCTC.fock_time + "_device", iteration):
             G = self._fock(self.B, d, Cs, s, self._col_map, self._pq_flat)
         return np.asarray(G)

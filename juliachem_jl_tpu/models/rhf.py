@@ -49,11 +49,18 @@ def _make_fock_builder(basis_sets, opts, prefer_df: bool, timings=None):
         use_screened = (
             mode == C.ContractionMode.screened
             or (mode == C.ContractionMode.default and not force_dense
-                and dense_bytes > 4.0e9)
+                and dense_bytes > 2.0e9)
         )
         cls = ScreenedDFFockBuilder if use_screened else DFFockBuilder
         return cls(basis_sets.primary, basis_sets.auxiliary, opts,
                    timings=timings)
+    if opts.num_devices > 1:
+        # quartet-sharded conventional Fock over the mesh (the analog of
+        # the reference's rank-parallel quartet walk, SCF.jl:683-744)
+        from ..ops.fock_sharded import ShardedDirectFock
+
+        return ShardedDirectFock(
+            basis_sets.primary, n_devices=opts.num_devices, timings=timings)
     if opts.contraction_mode == C.ContractionMode.dense and basis_sets.primary.nbf <= 160:
         return DenseFock(basis_sets.primary)
     return ScreenedDirectFock(basis_sets.primary)

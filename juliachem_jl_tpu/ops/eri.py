@@ -39,8 +39,11 @@ def bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B):
 
 
 @lru_cache(maxsize=None)
-def _eri_kernel(la, lb, lc, ld, Ka, Kb, Kc, Kd):
-    """Jitted quartet-class kernel -> blocks [N, nca*ncb, ncc*ncd]."""
+def _eri_kernel_body(la, lb, lc, ld, Ka, Kb, Kc, Kd):
+    """Unjitted quartet-class kernel body -> blocks [N, nca*ncb, ncc*ncd].
+
+    Exposed separately so the quartet-sharded Fock build can trace it inside
+    shard_map (fock_sharded.py); _eri_kernel is its jitted form."""
     Lb = la + lb
     Lk = lc + ld
     L = Lb + Lk
@@ -67,7 +70,13 @@ def _eri_kernel(la, lb, lc, ld, Ka, Kb, Kc, Kd):
         out = jnp.einsum("nqah,nqhc->nac", Eab, T1)
         return out
 
-    return jax.jit(f)
+    return f
+
+
+@lru_cache(maxsize=None)
+def _eri_kernel(la, lb, lc, ld, Ka, Kb, Kc, Kd):
+    """Jitted quartet-class kernel -> blocks [N, nca*ncb, ncc*ncd]."""
+    return jax.jit(_eri_kernel_body(la, lb, lc, ld, Ka, Kb, Kc, Kd))
 
 
 def eri_block(bra: PairBlock, ket: PairBlock, sel_bra, sel_ket, chunk=1024):

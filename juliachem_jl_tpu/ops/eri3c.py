@@ -63,52 +63,57 @@ def two_center_metric(aux: Basis) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _threecenter_kernel(la: int, lb: int, lq: int, Ka: int, Kb: int, Kq: int,
-                        nq_pad: int, nbf: int):
-    """Jitted 3-center class kernel: a chunk of bra pairs against ALL aux
-    shells of one class at once.
+def _threecenter_fused_kernel(la: int, lb: int, Ka: int, Kb: int,
+                              aux_meta: tuple):
+    """Jitted 3-center kernel: a chunk of bra pairs against ALL auxiliary
+    classes at once (aux_meta = ((lq, Kq, nq_pad), ...)).
 
-    Key optimization over quartet-batching: the bra Hermite expansion Eab is
-    computed once per *pair* (not once per pair x aux-shell), and the result
-    block is scattered into the flat B workspace on device — the host (a
-    single core in this environment) never touches integral data.
+    Key optimizations over quartet-batching:
+    * the bra Hermite expansion Eab is computed once per *pair chunk* and
+      reused across every auxiliary class (previously recomputed per class);
+    * one kernel launch (and one compile) per pair class instead of one per
+      (pair class x aux class) — the remote-relay compile latency was the
+      dominant cold-start cost of the B build;
+    * the result block is scattered into the flat B workspace on device —
+      the host (a single core in this environment) never touches integral
+      data.
     """
-    Lb = la + lb
-    Lk = lq
-    L = Lb + Lk
-    comb, sign = combine_tables(Lb, Lk)
-    nab = ncart(la) * ncart(lb)
-    ncq = ncart(lq)
-    sign = jnp.asarray(sign)
-
     def f(B3, aexp, bexp, acoef, bcoef, A, B, cols, cols_t, valid, mirror,
-          qexp, qcoef, Qc, rows):
-        # bra pairs
+          *qflat):
+        # bra pairs (shared across aux classes)
         Eab, p, P = bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B)
-        # aux shells as (lq, unit) pairs
-        zq = jnp.zeros_like(qexp)
-        Ecd, q, Qcen = bra_hermite(lq, 0, qexp, zq, qcoef, jnp.ones_like(qcoef),
-                                   Qc, Qc)
-        # P: [Pc, K2b, 3]; Qcen: [Nq, Kq, 3]
-        PQ = P[:, :, None, None, :] - Qcen[None, None, :, :, :]
-        psum = p[:, :, None, None] + q[None, None, :, :]
-        alpha = p[:, :, None, None] * q[None, None, :, :] / psum
-        Targ = alpha * jnp.sum(PQ**2, axis=-1)
-        pref = TWO_PI_POW_2_5 / (
-            p[:, :, None, None] * q[None, None, :, :] * jnp.sqrt(psum))
-        F = boys(Targ, L) * pref[..., None]
-        R = r_tensor(L, alpha, PQ, F)            # [Pc,K2b,Nq,Kq,nherm]
-        M = R[..., comb] * sign[None, None, None, None, None, :]
-        # contract aux primitives+hermite: T1[Pc,K2b,h,Nq,c]
-        T1 = jnp.einsum("pkqrhg,qrcg->pkhqc", M, Ecd)
-        out = jnp.einsum("pkah,pkhqc->paqc", Eab, T1)  # [Pc,nab,Nq,ncq]
-        out = out * valid[:, None, None, None]
-        # scatter into flat B3 [A, nbf*nbf] (rows: [Nq, ncq], cols: [Pc, nab])
-        r4 = rows[None, None, :, :]
+        Lb = la + lb
+        vmask = valid[:, None, None, None]
+        mmask = mirror[:, None, None, None]
         c4 = cols[:, :, None, None]
-        B3 = B3.at[r4, c4].add(out)
         ct4 = cols_t[:, :, None, None]
-        B3 = B3.at[r4, ct4].add(out * mirror[:, None, None, None])
+
+        for ci, (lq, Kq, nq_pad) in enumerate(aux_meta):
+            qexp, qcoef, Qc, rows = qflat[4 * ci: 4 * ci + 4]
+            L = Lb + lq
+            comb, sign = combine_tables(Lb, lq)
+            sgn = jnp.asarray(sign)
+            zq = jnp.zeros_like(qexp)
+            Ecd, q, Qcen = bra_hermite(lq, 0, qexp, zq, qcoef,
+                                       jnp.ones_like(qcoef), Qc, Qc)
+            # P: [Pc, K2b, 3]; Qcen: [Nq, Kq, 3]
+            PQ = P[:, :, None, None, :] - Qcen[None, None, :, :, :]
+            psum = p[:, :, None, None] + q[None, None, :, :]
+            alpha = p[:, :, None, None] * q[None, None, :, :] / psum
+            Targ = alpha * jnp.sum(PQ**2, axis=-1)
+            pref = TWO_PI_POW_2_5 / (
+                p[:, :, None, None] * q[None, None, :, :] * jnp.sqrt(psum))
+            F = boys(Targ, L) * pref[..., None]
+            R = r_tensor(L, alpha, PQ, F)            # [Pc,K2b,Nq,Kq,nherm]
+            M = R[..., comb] * sgn[None, None, None, None, None, :]
+            # contract aux primitives+hermite: T1[Pc,K2b,h,Nq,c]
+            T1 = jnp.einsum("pkqrhg,qrcg->pkhqc", M, Ecd)
+            out = jnp.einsum("pkah,pkhqc->paqc", Eab, T1)  # [Pc,nab,Nq,ncq]
+            out = out * vmask
+            # scatter into flat B3 (rows: [Nq, ncq], cols: [Pc, nab])
+            r4 = rows[None, None, :, :]
+            B3 = B3.at[r4, c4].add(out)
+            B3 = B3.at[r4, ct4].add(out * mmask)
         return B3
 
     return jax.jit(f, donate_argnums=(0,))
@@ -143,6 +148,13 @@ def three_center_tensor(
     else:
         width = nbf * nbf
     B3 = jnp.zeros((A, width))
+
+    # padded per-class auxiliary batch arrays, shared across pair classes
+    from .class_tables import nherm as _nherm
+
+    aux_meta = []
+    qflat = []
+    max_qwork = 1
     for aux_blk in aux_unit_blocks(aux):
         ncq = ncart(aux_blk.la)
         nq = aux_blk.n
@@ -156,42 +168,62 @@ def three_center_tensor(
         qcoef[:nq] = aux_blk.acoef
         Qc[:nq] = aux_blk.A
         rows[:nq] = aux_blk.off_a[:, None] + np.arange(ncq)[None, :]
-        qargs = (jnp.asarray(qexp), jnp.asarray(qcoef), jnp.asarray(Qc),
-                 jnp.asarray(rows))
+        aux_meta.append((aux_blk.la, aux_blk.aexp.shape[1], nq_pad))
+        qflat += [jnp.asarray(qexp), jnp.asarray(qcoef), jnp.asarray(Qc),
+                  jnp.asarray(rows)]
+    aux_meta = tuple(aux_meta)
 
-        for pblk in pair_blocks:
-            if pblk.n == 0:
-                continue
-            nca, ncb = pblk.nbf_block
-            kern = _threecenter_kernel(
-                pblk.la, pblk.lb, aux_blk.la,
-                pblk.aexp.shape[1], pblk.bexp.shape[1], aux_blk.aexp.shape[1],
-                nq_pad, nbf)
-            ia, ib = _pair_bf_indices_flat(pblk)            # [n, nab] each
-            cols = (ia * nbf + ib).astype(np.int64)
-            cols_t = (ib * nbf + ia).astype(np.int64)
-            if packed:
-                cols = col_map[cols]
-                cols_t = col_map[cols_t]
-            mirror = (pblk.ish != pblk.jsh).astype(np.float64)
+    BUDGET = 1.2e8   # R-tensor working-set elements per kernel launch
+    CSIZE_MIN = 64   # smallest useful pair chunk when sizing buckets
 
-            n = pblk.n
-            # bound the [Pc, K2b, Nq, Kq, nherm] R-tensor working set
-            from .class_tables import nherm as _nherm
+    for pblk in pair_blocks:
+        if pblk.n == 0:
+            continue
+        ia, ib = _pair_bf_indices_flat(pblk)            # [n, nab] each
+        cols = (ia * nbf + ib).astype(np.int64)
+        cols_t = (ib * nbf + ia).astype(np.int64)
+        if packed:
+            cols = col_map[cols]
+            cols_t = col_map[cols_t]
+        mirror = (pblk.ish != pblk.jsh).astype(np.float64)
 
-            k2b = pblk.aexp.shape[1] * pblk.bexp.shape[1]
-            nh_l = _nherm(pblk.la + pblk.lb + aux_blk.la)
-            budget = 1.2e8
-            csize = int(budget / max(k2b * nq_pad * nh_l, 1))
+        n = pblk.n
+        k2b = pblk.aexp.shape[1] * pblk.bexp.shape[1]
+
+        # Partition the aux classes into buckets so that the SUM of the
+        # per-class [Pc, K2b, Nq, Kq, nherm] working sets inside one kernel
+        # stays under budget even at the minimum chunk: XLA schedules the
+        # fused class loop with overlapping temp lifetimes, so the peak HLO
+        # temp tracks the bucket total, not the largest class — and the
+        # compiled program size stays bounded (the unbounded whole-basis
+        # fusion segfaulted the XLA CPU compiler and RESOURCE_EXHAUSTed the
+        # TPU at w16).
+        buckets = []  # (meta tuple, qflat slice, sum work)
+        cur_meta, cur_flat, cur_work = [], [], 0
+        for ci, (lq, Kq, nq_pad) in enumerate(aux_meta):
+            w = Kq * nq_pad * _nherm(pblk.la + pblk.lb + lq)
+            if cur_meta and (cur_work + w) * k2b * CSIZE_MIN > BUDGET:
+                buckets.append((tuple(cur_meta), cur_flat, cur_work))
+                cur_meta, cur_flat, cur_work = [], [], 0
+            cur_meta.append((lq, Kq, nq_pad))
+            cur_flat = cur_flat + qflat[4 * ci: 4 * ci + 4]
+            cur_work += w
+        buckets.append((tuple(cur_meta), cur_flat, cur_work))
+
+        arrays = [pblk.aexp, pblk.bexp, pblk.acoef, pblk.bcoef,
+                  pblk.A, pblk.B, cols, cols_t,
+                  np.ones(n), mirror]
+
+        for bmeta, bflat, bwork in buckets:
+            kern = _threecenter_fused_kernel(
+                pblk.la, pblk.lb, pblk.aexp.shape[1], pblk.bexp.shape[1],
+                bmeta)
+            csize = int(BUDGET / max(k2b * bwork, 1))
             csize = max(16, min(chunk, csize, max(n, 1)))
             # round to power-of-two bucket to bound compile variants
             csize = 1 << (csize.bit_length() - 1)
 
-            arrays = [pblk.aexp, pblk.bexp, pblk.acoef, pblk.bcoef,
-                      pblk.A, pblk.B, cols, cols_t,
-                      np.ones(n), mirror]
-
-            done = 0  # quartet rows already scattered (restart-safe retries)
+            done = 0  # pair rows already scattered (restart-safe retries)
             while done < n:
                 # pre-pad the whole block once (host work is serial here)
                 n_pad = -(-n // csize) * csize
@@ -206,8 +238,9 @@ def three_center_tensor(
                 try:
                     for s in range(done, n_pad, csize):
                         B3 = kern(
-                            B3, *(jnp.asarray(x[s:s + csize]) for x in padded),
-                            *qargs)
+                            B3,
+                            *(jnp.asarray(x[s:s + csize]) for x in padded),
+                            *bflat)
                         done = min(s + csize, n)
                     break
                 except Exception as exc:
@@ -223,8 +256,8 @@ def three_center_tensor(
 
                     warnings.warn(
                         f"3-center kernel compile failed for class "
-                        f"(la={pblk.la},lb={pblk.lb},lq={aux_blk.la}); "
-                        f"retrying with chunk {csize}", stacklevel=2)
+                        f"(la={pblk.la},lb={pblk.lb}); retrying with chunk "
+                        f"{csize}", stacklevel=2)
     if packed:
         B3 = B3.at[:, -1].set(0.0)  # trash column (screened-out scatter target)
         return np.asarray(B3)

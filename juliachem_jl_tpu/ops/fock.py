@@ -141,8 +141,9 @@ def build_quartet_batches(
     return batches, Q
 
 
-def _make_digest(la, lb, lc, ld, nbf):
-    """Jitted digestion: ERI block -> (J_ws, K_ws) flat scatter contributions."""
+def _make_digest_body(la, lb, lc, ld, nbf):
+    """Unjitted digestion body: ERI block -> (J_ws, K_ws) flat scatter
+    contributions.  Exposed for shard_map tracing (fock_sharded.py)."""
     nca, ncb, ncc, ncd = ncart(la), ncart(lb), ncart(lc), ncart(ld)
 
     def f(J_ws, K_ws, I, w, D, idx_ab, idx_cd, idx_ac, idx_ad, idx_bc, idx_bd):
@@ -171,7 +172,13 @@ def _make_digest(la, lb, lc, ld, nbf):
         K_ws = K_ws.at[idx_bd.reshape(-1)].add(k_bd.reshape(-1))
         return J_ws, K_ws
 
-    return jax.jit(f, donate_argnums=(0, 1))
+    return f
+
+
+def _make_digest(la, lb, lc, ld, nbf):
+    """Jitted digestion: ERI block -> (J_ws, K_ws) flat scatter contributions."""
+    return jax.jit(_make_digest_body(la, lb, lc, ld, nbf),
+                   donate_argnums=(0, 1))
 
 
 INCORE_BUDGET_ELEMENTS = 400_000_000  # ~3.2 GB of f64 ERI blocks

@@ -81,9 +81,18 @@ def build_B_packed_sharded(primary: Basis, aux: Basis, mesh: Mesh,
         P3 = np.concatenate(parts, axis=0)  # rows in global aux order
 
     with timings.timed(JCTC.B_time):
+        from ..models.df_screened import SOLVE_CHUNK_BUDGET
+
         L = np.linalg.cholesky(metric)
-        B = np.array(solve_triangular(jnp.asarray(L), jnp.asarray(P3),
-                                      lower=True))
+        # column-chunked (see df_screened.build_B_packed: XLA's emulated-f64
+        # solve needs ~12x the RHS in HBM temps)
+        Lj = jnp.asarray(L)
+        A_rows = P3.shape[0]
+        cb = max(1024, int(SOLVE_CHUNK_BUDGET / (8 * A_rows)))
+        B = P3
+        for s in range(0, npq1, cb):
+            B[:, s:s + cb] = np.asarray(solve_triangular(
+                Lj, jnp.asarray(B[:, s:s + cb]), lower=True))
         B[:, -1] = 0.0
 
     # pad rows so each device holds n_chunks x q_chunk rows exactly

@@ -28,6 +28,79 @@ def make_mesh(n_devices: int | None = None, k_axis: int = 1) -> Mesh:
     return Mesh(arr, ("q", "k"))
 
 
+def initialize_distributed() -> bool:
+    """Multi-host (DCN) runtime bring-up — the analog of the reference's
+    MPI.Init() across nodes (JCRuntime.jl:6-16).
+
+    Calls jax.distributed.initialize() when a cluster environment is
+    detected (JAX auto-detects TPU pods, GKE, Slurm and Open MPI via
+    ``jax.distributed``'s cluster plugins; explicit coordination falls back
+    to the JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    variables).  Single-process runs are a no-op.  Idempotent.
+    Returns True if a multi-process runtime is (now) active.
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return True
+    env = os.environ
+    explicit = env.get("JAX_COORDINATOR_ADDRESS") or env.get(
+        "COORDINATOR_ADDRESS")
+    cluster = any(k in env for k in (
+        "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES",
+        "MEGASCALE_COORDINATOR_ADDRESS"))
+    if not explicit and not cluster:
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=explicit or None,
+            num_processes=(int(env["JAX_NUM_PROCESSES"])
+                           if "JAX_NUM_PROCESSES" in env else None),
+            process_id=(int(env["JAX_PROCESS_ID"])
+                        if "JAX_PROCESS_ID" in env else None),
+        )
+    except RuntimeError:
+        # already initialized (idempotent path)
+        pass
+    return jax.process_count() > 1
+
+
+def make_global_mesh(k_axis: int | None = None) -> Mesh:
+    """Global mesh over every device of every host, laid out so that the
+    "q" (auxiliary-row) axis spans hosts and the "k" axis stays inside a
+    host.
+
+    Rationale (scaling-book recipe): the per-iteration collectives on "k"
+    (all_gather of W / G columns, parallel/shard.py) move O(nbf^2) data every
+    Fock build and must ride ICI; the "q" axis only psums the final
+    [nbf, ncol] partials once per iteration, so it tolerates DCN.  This is
+    the DCN story the reference handles with MPI ranks spanning nodes
+    (GPUDF.jl's rank x device virtual-rank grid, :1011-1055).
+    """
+    initialize_distributed()
+    n_local = jax.local_device_count()
+    n_hosts = jax.process_count()
+    if k_axis is None:
+        k_axis = n_local if n_hosts > 1 else 1
+    n = n_local * n_hosts
+    if n % k_axis != 0:
+        raise ValueError(f"{n} devices not divisible by k_axis={k_axis}")
+    if n_hosts == 1:
+        return make_mesh(n, k_axis=k_axis)
+    from jax.experimental import mesh_utils
+
+    if k_axis % n_local == 0 and k_axis >= n_local:
+        dcn = (n // k_axis, k_axis // n_local)
+        ici = (1, n_local)
+    else:
+        # k within host, q split across hosts (and within host if q > hosts)
+        dcn = (n_hosts, 1)
+        ici = (n_local // k_axis, k_axis)
+    arr = mesh_utils.create_hybrid_device_mesh(
+        ici, dcn, devices=jax.devices())
+    return Mesh(arr, ("q", "k"))
+
+
 def pad_to_multiple(x: np.ndarray, axis: int, multiple: int) -> np.ndarray:
     """Zero-pad one axis up to a multiple (even Q-shards: the analog of the
     reference's uneven Allgatherv + reorder, which SPMD avoids by padding)."""

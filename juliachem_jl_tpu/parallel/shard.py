@@ -142,3 +142,45 @@ def make_packed_fock_step(mesh: Mesh, A_pad: int, npq1: int, nbf: int,
         check_vma=False,
     )
     return jax.jit(fock)
+
+
+def make_packed_fock_phases(mesh: Mesh, A_pad: int, npq1: int, nbf: int,
+                            q_chunk: int, n_chunks: int):
+    """Split variant of make_packed_fock_step for per-phase telemetry
+    (the reference records J/W/K times per iteration and per device,
+    JCTiming.jl:15-105): returns (j_fn, k_fn) jitted shard_maps so the
+    driver can wall-time the Coulomb and exchange phases separately.
+    Slightly slower than the fused step (two passes over B) — used only
+    when profiling is requested."""
+    axes = ("q", "k")
+
+    def local_j(B_blk, d, pq_flat):
+        Br = B_blk.reshape(n_chunks, q_chunk, npq1)
+
+        def body(Jp, Bc):
+            Vc = Bc @ d
+            return Jp + Vc @ Bc, 0
+
+        Jp, _ = jax.lax.scan(body, jnp.zeros(npq1), Br)
+        Jp = jax.lax.psum(Jp, axes)
+        return jnp.zeros(nbf * nbf).at[pq_flat].set(Jp[:-1]).reshape(nbf, nbf)
+
+    def local_k(B_blk, Cs, s, col_map):
+        Br = B_blk.reshape(n_chunks, q_chunk, npq1)
+
+        def body(Khalf, Bc):
+            tile = Bc[:, col_map].reshape(q_chunk, nbf, nbf)
+            W = jnp.einsum("qmn,mi->qin", tile, Cs)
+            Ws = W * s[None, :, None]
+            return Khalf + jnp.einsum("qim,qin->mn", Ws, W), 0
+
+        Khalf, _ = jax.lax.scan(body, jnp.zeros((nbf, nbf)), Br)
+        return jax.lax.psum(Khalf, axes)
+
+    j_fn = shard_map(local_j, mesh=mesh,
+                     in_specs=(P(("q", "k"), None), P(), P()),
+                     out_specs=P(), check_vma=False)
+    k_fn = shard_map(local_k, mesh=mesh,
+                     in_specs=(P(("q", "k"), None), P(), P(), P()),
+                     out_specs=P(), check_vma=False)
+    return jax.jit(j_fn), jax.jit(k_fn)

@@ -39,6 +39,9 @@ class SCFOptions:
     # is scale-free; total-energy deltas grow with system size and drown in
     # f32 noise)
     mixed_precision_switch: float = 1.0e-3
+    # record per-phase (J/K) fock timings on the sharded DF path
+    # (JCTiming per-iteration J/K keys analog; costs a second pass over B)
+    profile_fock: bool = False
 
     def to_dict(self):
         return asdict(self)
@@ -76,6 +79,7 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
     opts.mixed_precision = bool(f.get("mixed_precision", opts.mixed_precision))
     opts.mixed_precision_switch = float(
         f.get("mixed_precision_switch", opts.mixed_precision_switch))
+    opts.profile_fock = bool(f.get("profile_fock", opts.profile_fock))
     opts.fdiff = bool(f.get(C.FDIFF, opts.fdiff))
     opts.damp = bool(f.get(C.DAMP, opts.damp))
     opts.debug = bool(f.get(C.DEBUG, opts.debug))

@@ -99,3 +99,94 @@ def test_packed_qchunk_blocking(system):
     G4 = packed.two_electron_fock(D, 1, t, C_occ=C)
     G1 = one.two_electron_fock(D, 1, t, C_occ=C)
     assert np.abs(G4 - G1).max() < 1e-9
+
+
+def test_blocked_lower_triangle_k(system):
+    """k_blocks>1 (lower-triangular K column blocking) must be exact."""
+    mol, b = system
+    opts = create_scf_options({"scf_type": "df"})
+    packed = ScreenedDFFockBuilder(b.primary, b.auxiliary, opts,
+                                   timings=Timings())
+    rng = np.random.default_rng(3)
+    nbf = b.primary.nbf
+    C = rng.normal(size=(nbf, 5))
+    D = 2.0 * C @ C.T
+    t = Timings()
+    G1 = packed.two_electron_fock(D, 1, t, C_occ=C)
+    packed.k_blocks = 3  # force the large-nbf path on a small system
+    G3 = packed.two_electron_fock(D, 1, t, C_occ=C)
+    assert np.abs(G3 - G1).max() < 1e-10
+    # signed (indefinite) variant through the blocked path too
+    M = rng.normal(size=(nbf, nbf))
+    dD = M + M.T
+    packed.k_blocks = 1
+    S1 = packed.two_electron_fock(dD, 1, t, C_occ=None)
+    packed.k_blocks = 3
+    S3 = packed.two_electron_fock(dD, 1, t, C_occ=None)
+    assert np.abs(S3 - S1).max() < 1e-8
+
+
+def test_huge_build_matches(system, monkeypatch):
+    """The host-assembled (blocked 3-center + column-chunked solve) build
+    must reproduce the on-device build bit-for-nearly-bit."""
+    import juliachem_jl_tpu.models.df_screened as dfs
+
+    mol, b = system
+    opts = create_scf_options({"scf_type": "df"})
+    B_ref, screen_ref = dfs.build_B_packed(b.primary, b.auxiliary, opts)
+    monkeypatch.setattr(dfs, "HUGE_BUILD_BUDGET", 2e5)  # force blocking
+    B_huge, screen_huge = dfs.build_B_packed(b.primary, b.auxiliary, opts)
+    assert screen_ref.npq == screen_huge.npq
+    assert np.abs(B_ref - B_huge).max() < 1e-12
+
+
+def test_stream_mode_f32_phase(system, monkeypatch):
+    """Stream mode without a resident B32 still supports the f32 phase by
+    casting host blocks per call."""
+    mol, b = system
+    monkeypatch.setattr(ScreenedDFFockBuilder, "DEVICE_B_BUDGET", 1e4)
+    opts = create_scf_options({"scf_type": "df"})
+    packed = ScreenedDFFockBuilder(b.primary, b.auxiliary, opts,
+                                   timings=Timings())
+    assert packed.stream and packed.B32 is None
+    assert packed.supports_f32_phase
+    rng = np.random.default_rng(4)
+    nbf = b.primary.nbf
+    C = rng.normal(size=(nbf, 5))
+    D = 2.0 * C @ C.T
+    t = Timings()
+    G64 = packed.two_electron_fock(D, 1, t, C_occ=C, precision="f64")
+    G32 = packed.two_electron_fock(D, 1, t, C_occ=C, precision="f32")
+    assert G32.dtype == np.float32 or np.abs(G64 - G32).max() < 1e-3
+    assert np.abs(G64 - np.asarray(G32, dtype=np.float64)).max() < 1e-2
+
+
+def test_sharded_profile_fock_phases(system):
+    """profile_fock=True must record per-iteration J/K timings and produce
+    the same G as the fused sharded step."""
+    from juliachem_jl_tpu.models.df_sharded import ShardedDFFockBuilder
+    from juliachem_jl_tpu.utils.timings import JCTC
+
+    mol, b = system
+    rng = np.random.default_rng(11)
+    nbf = b.primary.nbf
+    C = rng.normal(size=(nbf, 5))
+    D = 2.0 * C @ C.T
+
+    fused = ShardedDFFockBuilder(
+        b.primary, b.auxiliary,
+        create_scf_options({"scf_type": "df", "num_devices": 8}),
+        timings=Timings())
+    t1 = Timings()
+    G0 = fused.two_electron_fock(D, 1, t1, C_occ=C)
+
+    prof = ShardedDFFockBuilder(
+        b.primary, b.auxiliary,
+        create_scf_options({"scf_type": "df", "num_devices": 8,
+                            "profile_fock": True}),
+        timings=Timings())
+    t2 = Timings()
+    G1 = prof.two_electron_fock(D, 1, t2, C_occ=C)
+    assert np.abs(G1 - G0).max() < 1e-10
+    assert f"{JCTC.J_time}-1" in t2.timings
+    assert f"{JCTC.K_time}-1" in t2.timings
