@@ -76,7 +76,8 @@ def _pair_bf_indices(block: PairBlock):
 
 
 def build_quartet_batches(
-    basis: Basis, cutoff: float = DEFAULT_CUTOFF, pair_cutoff_scale: float = 1.0e-4
+    basis: Basis, cutoff: float = DEFAULT_CUTOFF,
+    pair_cutoff_scale: float = 1.0e-4, nbf_pad: int | None = None,
 ) -> tuple[list[QuartetBatch], np.ndarray]:
     """Enumerate Schwarz-screened symmetry-unique quartet batches.
 
@@ -84,8 +85,14 @@ def build_quartet_batches(
     is static per geometry: quartets with Q_ab * Q_cd < cutoff are dropped
     from the batch lists entirely (the reference computes the same bound per
     quartet at SCF.jl:916-933).
+
+    nbf_pad: stride used for the flat scatter indices.  Padding nbf to a
+    bucket (128-multiples) makes every digestion kernel shape-identical
+    across molecules of similar size, so the compiled class kernels are
+    shared system-to-system (the per-molecule recompile through the remote
+    TPU relay otherwise dominates multi-system sweeps).
     """
-    nbf = basis.nbf
+    nbf = basis.nbf if nbf_pad is None else nbf_pad
     blocks = unique_pair_blocks(basis)
     qvals = [pair_schwarz(b) for b in blocks]
     qmax = max((q.max() for q in qvals if len(q)), default=1.0)
@@ -197,8 +204,11 @@ class ScreenedDirectFock(FockBuilder):
                  chunk: int = 2048, incore: bool | None = None):
         self.basis = basis
         self.nbf = basis.nbf
+        # bucket nbf so digestion kernels are shared across molecules
+        self.nbf_pad = -(-basis.nbf // 128) * 128
         self.chunk = chunk
-        self.batches, self.Q = build_quartet_batches(basis, cutoff)
+        self.batches, self.Q = build_quartet_batches(
+            basis, cutoff, nbf_pad=self.nbf_pad)
         self._digesters = {}
         self._eri_kerns = {}
         if incore is None:
@@ -215,7 +225,7 @@ class ScreenedDirectFock(FockBuilder):
                b.bra.aexp.shape[1], b.bra.bexp.shape[1],
                b.ket.aexp.shape[1], b.ket.bexp.shape[1])
         if key not in self._digesters:
-            self._digesters[key] = _make_digest(*key[:4], self.nbf)
+            self._digesters[key] = _make_digest(*key[:4], self.nbf_pad)
             self._eri_kerns[key] = _eri_kernel(*key)
         return self._eri_kerns[key], self._digesters[key]
 
@@ -268,10 +278,12 @@ class ScreenedDirectFock(FockBuilder):
         return out
 
     def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
-        nbf = self.nbf
+        nbf, nbf_pad = self.nbf, self.nbf_pad
         D = jnp.asarray(D)
-        J_ws = jnp.zeros(nbf * nbf)
-        K_ws = jnp.zeros(nbf * nbf)
+        if nbf_pad != nbf:
+            D = jnp.pad(D, ((0, nbf_pad - nbf), (0, nbf_pad - nbf)))
+        J_ws = jnp.zeros(nbf_pad * nbf_pad)
+        K_ws = jnp.zeros(nbf_pad * nbf_pad)
         for bi, b in enumerate(self.batches):
             _, digest = self._get_fns(b)
             n = len(b.sel_bra)
@@ -279,8 +291,8 @@ class ScreenedDirectFock(FockBuilder):
             for s in range(0, n, chunk):
                 I, w, *idxs = self._chunk_inputs(bi, s)
                 J_ws, K_ws = digest(J_ws, K_ws, I, w, D, *idxs)
-        J = J_ws.reshape(nbf, nbf)
-        K = K_ws.reshape(nbf, nbf)
+        J = J_ws.reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
+        K = K_ws.reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
         J = J + J.T
         K = K + K.T
         return np.asarray(J - 0.5 * K)

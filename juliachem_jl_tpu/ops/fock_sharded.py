@@ -78,8 +78,12 @@ class ShardedDirectFock(FockBuilder):
         self.ndev = int(mesh.devices.size)
         self.basis = basis
         self.nbf = basis.nbf
+        # bucket nbf so digestion kernels are shared across molecules
+        # (see build_quartet_batches)
+        self.nbf_pad = -(-basis.nbf // 128) * 128
         self.chunk = chunk
-        self.batches, self.Q = build_quartet_batches(basis, cutoff)
+        self.batches, self.Q = build_quartet_batches(
+            basis, cutoff, nbf_pad=self.nbf_pad)
         self._ws_sharding = NamedSharding(mesh, P(AXES))
         self._qspec = NamedSharding(mesh, P(AXES))
         self._chunks: list[tuple] | None = None
@@ -133,21 +137,23 @@ class ShardedDirectFock(FockBuilder):
     # ---------------------------------------------------------- iteration
 
     def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
-        nbf = self.nbf
+        nbf, nbf_pad = self.nbf, self.nbf_pad
         if self._chunks is None:
             self._chunks = self._prep()
-        D = jax.device_put(jnp.asarray(D),
-                           NamedSharding(self.mesh, P(None, None)))
-        J_ws = jax.device_put(jnp.zeros((self.ndev, nbf * nbf)),
+        D = jnp.asarray(D)
+        if nbf_pad != nbf:
+            D = jnp.pad(D, ((0, nbf_pad - nbf), (0, nbf_pad - nbf)))
+        D = jax.device_put(D, NamedSharding(self.mesh, P(None, None)))
+        J_ws = jax.device_put(jnp.zeros((self.ndev, nbf_pad * nbf_pad)),
                               self._ws_sharding)
-        K_ws = jax.device_put(jnp.zeros((self.ndev, nbf * nbf)),
+        K_ws = jax.device_put(jnp.zeros((self.ndev, nbf_pad * nbf_pad)),
                               self._ws_sharding)
         for key, arrs in self._chunks:
-            step = _sharded_class_step(key, nbf, self.mesh)
+            step = _sharded_class_step(key, nbf_pad, self.mesh)
             J_ws, K_ws = step(J_ws, K_ws, D, *arrs)
         # one cross-device reduction per iteration (MPI.Allreduce analog)
-        J = J_ws.sum(axis=0).reshape(nbf, nbf)
-        K = K_ws.sum(axis=0).reshape(nbf, nbf)
+        J = J_ws.sum(axis=0).reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
+        K = K_ws.sum(axis=0).reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
         J = J + J.T
         K = K + K.T
         return np.asarray(J - 0.5 * K)
