@@ -89,13 +89,17 @@ def run(mol, model: dict, output: int = 0) -> CalculationBasisSets:
     """API parity with JCBasis.run(molecule, model) (JCBasis.jl:39-219)."""
     if model.get("basis_file"):
         register_basis_file(model["basis_file"], model["basis"])
+    aux_name = model.get("auxiliary_basis")
     if model.get("auxiliary_basis_file"):
-        register_basis_file(
-            model["auxiliary_basis_file"], model.get("auxiliary_basis"))
+        # a user-supplied aux file without an explicit name still builds an
+        # auxiliary basis (under the file-stem name) rather than being
+        # silently ignored
+        aux_name = register_basis_file(
+            model["auxiliary_basis_file"], aux_name)
     primary = build(mol, model["basis"])
     aux = None
-    if model.get("auxiliary_basis"):
-        aux = build_auxiliary(mol, model["auxiliary_basis"], model["basis"])
+    if aux_name:
+        aux = build_auxiliary(mol, aux_name, model["basis"])
     if output >= 3:
         print_basis(primary)
         if aux is not None:

@@ -23,8 +23,6 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
-from jax.scipy.linalg import solve_triangular
-
 from ..ops import eri3c, schwarz
 from ..ops.pairs import unique_pair_blocks
 from ..utils.timings import JCTC, Timings
@@ -63,21 +61,15 @@ def build_B(primary, aux, opts=None, timings: Timings | None = None) -> np.ndarr
     with timings.timed(JCTC.three_center_time):
         P3 = eri3c.three_center_tensor(primary, aux, pair_blocks)
     with timings.timed(JCTC.B_time):
+        from .linalg import apply_triangular_inverse
+
         L = np.linalg.cholesky(metric)
         A, nbf = aux.nbf, primary.nbf
-        # column-chunked (XLA's emulated-f64 triangular solve materializes
-        # ~12x the RHS in HBM temps; see df_screened.build_B_packed)
-        from .df_screened import SOLVE_CHUNK_BUDGET
-
-        Lj = jnp.asarray(L)
         B = P3.reshape(A, -1)
         if not (isinstance(B, np.ndarray) and B.flags.writeable
                 and B.flags.c_contiguous):
             B = np.array(B)
-        cb = max(1024, int(SOLVE_CHUNK_BUDGET / (8 * A)))
-        for s in range(0, B.shape[1], cb):
-            B[:, s:s + cb] = np.asarray(solve_triangular(
-                Lj, jnp.asarray(B[:, s:s + cb]), lower=True))
+        apply_triangular_inverse(L, B)
     return B.reshape(A, nbf, nbf)
 
 

@@ -132,21 +132,12 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
                 primary, aux, pair_blocks, col_map=screen.col_map,
                 packed_width=npq1)
     with timings.timed(JCTC.B_time):
-        from jax.scipy.linalg import solve_triangular
+        from .linalg import apply_triangular_inverse
 
         L = np.linalg.cholesky(metric)
-        # column-chunked solve in place: only [A, chunk] on device at a
-        # time.  XLA's f64-emulated triangular solve materializes several
-        # working copies of the RHS (measured ~12x at w16 -> 19.5 GB HBM
-        # for the full-width solve), so chunking is required well before
-        # the huge-build threshold.
-        Lj = jnp.asarray(L)
-        cb = max(1024, int(SOLVE_CHUNK_BUDGET / (8 * A)))
         B = P3 if isinstance(P3, np.ndarray) and P3.flags.writeable \
             else np.array(P3)
-        for s in range(0, npq1, cb):
-            B[:, s:s + cb] = np.asarray(solve_triangular(
-                Lj, jnp.asarray(B[:, s:s + cb]), lower=True))
+        apply_triangular_inverse(L, B)
         B[:, -1] = 0.0
     return B, screen
 
@@ -215,6 +206,25 @@ def _jk_chunk_lower(Kup, Jp, Bc, Vc, col_map, Cs, s, nb):
             Kup = Kup.at[I * kb:(I + 1) * kb, J * kb:(J + 1) * kb].add(
                 Ws2[:, I, :].T @ W2[:, J, :])
     return Kup, Jp
+
+
+# fused variants computing V_Qblock = B_block · d inside the J/K pass: in
+# stream mode the host-resident B rides PCIe once per iteration instead of
+# twice (the V pass is kept separate only when B is device-resident, where
+# re-reading it is free and the V/K phase telemetry stays meaningful)
+@jax.jit
+def _jk_chunk_fused(Khalf, Jp, Bc, d, col_map, Cocc):
+    return _jk_chunk(Khalf, Jp, Bc, Bc @ d, col_map, Cocc)
+
+
+@jax.jit
+def _jk_chunk_signed_fused(Khalf, Jp, Bc, d, col_map, Cs, s):
+    return _jk_chunk_signed(Khalf, Jp, Bc, Bc @ d, col_map, Cs, s)
+
+
+@partial(jax.jit, static_argnums=(7,))
+def _jk_chunk_lower_fused(Kup, Jp, Bc, d, col_map, Cs, s, nb):
+    return _jk_chunk_lower(Kup, Jp, Bc, Bc @ d, col_map, Cs, s, nb)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -339,9 +349,13 @@ class ScreenedDFFockBuilder(FockBuilder):
         else:
             Cocc = jnp.asarray(C_occ).astype(fdt)
 
-        with timings.timed(JCTC.V_time, iteration):
-            Vs = [_v_chunk(blk, d) for blk in self._iter_blocks(dt)]
-            Vs[-1].block_until_ready()
+        # stream mode pulls each host B block over PCIe — do it once per
+        # iteration by folding the V matvec into the J/K pass
+        fuse_v = self.B is None and (dt == "f64" or self.B32 is None)
+        if not fuse_v:
+            with timings.timed(JCTC.V_time, iteration):
+                Vs = [_v_chunk(blk, d) for blk in self._iter_blocks(dt)]
+                Vs[-1].block_until_ready()
 
         nb = self.k_blocks
         Jp = jnp.zeros(self.screen.npq + 1, dtype=fdt)
@@ -352,19 +366,33 @@ class ScreenedDFFockBuilder(FockBuilder):
                 if not signed:
                     Cs = Cocc
                     s = jnp.ones(Cocc.shape[1], dtype=fdt)
-                for blk, Vc in zip(self._iter_blocks(dt), Vs):
-                    Kup, Jp = _jk_chunk_lower(
-                        Kup, Jp, blk, Vc, self._col_map, Cs, s, nb)
+                if fuse_v:
+                    for blk in self._iter_blocks(dt):
+                        Kup, Jp = _jk_chunk_lower_fused(
+                            Kup, Jp, blk, d, self._col_map, Cs, s, nb)
+                else:
+                    for blk, Vc in zip(self._iter_blocks(dt), Vs):
+                        Kup, Jp = _jk_chunk_lower(
+                            Kup, Jp, blk, Vc, self._col_map, Cs, s, nb)
                 Kup.block_until_ready()
             else:
                 Khalf = jnp.zeros((nbf, nbf), dtype=fdt)
-                for blk, Vc in zip(self._iter_blocks(dt), Vs):
-                    if signed:
-                        Khalf, Jp = _jk_chunk_signed(
-                            Khalf, Jp, blk, Vc, self._col_map, Cs, s)
-                    else:
-                        Khalf, Jp = _jk_chunk(
-                            Khalf, Jp, blk, Vc, self._col_map, Cocc)
+                if fuse_v:
+                    for blk in self._iter_blocks(dt):
+                        if signed:
+                            Khalf, Jp = _jk_chunk_signed_fused(
+                                Khalf, Jp, blk, d, self._col_map, Cs, s)
+                        else:
+                            Khalf, Jp = _jk_chunk_fused(
+                                Khalf, Jp, blk, d, self._col_map, Cocc)
+                else:
+                    for blk, Vc in zip(self._iter_blocks(dt), Vs):
+                        if signed:
+                            Khalf, Jp = _jk_chunk_signed(
+                                Khalf, Jp, blk, Vc, self._col_map, Cs, s)
+                        else:
+                            Khalf, Jp = _jk_chunk(
+                                Khalf, Jp, blk, Vc, self._col_map, Cocc)
                 Khalf.block_until_ready()
         with timings.timed(JCTC.J_time, iteration):
             if nb > 1:

@@ -23,7 +23,8 @@ from .scf import FockBuilder
 class ShardedDFFockBuilder(FockBuilder):
     """Packed screened-pq DF Fock over a jax.sharding.Mesh."""
 
-    supports_f32_phase = False  # sharded path runs f64-only for now
+    # per-device HBM budget for B64 + B32 copies (v5e: 16 GB/chip)
+    DEVICE_B_BUDGET = 9.0e9
 
     def __init__(self, primary, auxiliary, opts=None,
                  timings: Timings | None = None):
@@ -49,6 +50,19 @@ class ShardedDFFockBuilder(FockBuilder):
         self.screen = screen
         self._fock = make_packed_fock_step(
             self.mesh, A_pad, screen.npq + 1, self.nbf, qc, n_chunks)
+        # mixed-precision phase: a B32 shard alongside B64 when the combined
+        # per-device footprint fits (same f32/f64 ladder as df_screened —
+        # the early iterations only need ~1e-4 Fock accuracy and the f32 MXU
+        # path is several times the emulated-f64 rate)
+        mixed = bool(getattr(opts, "mixed_precision", True)) if opts is not None else True
+        per_dev_bytes = (A_pad // n) * (screen.npq + 1) * 12
+        self.B32 = None
+        if mixed and per_dev_bytes <= self.DEVICE_B_BUDGET:
+            self.B32 = self.B.astype(jnp.float32)  # sharding-preserving cast
+            self._fock32 = make_packed_fock_step(
+                self.mesh, A_pad, screen.npq + 1, self.nbf, qc, n_chunks,
+                dtype=jnp.float32)
+        self.supports_f32_phase = self.B32 is not None
         self.profile = bool(getattr(opts, "profile_fock", False))
         if self.profile:
             from ..parallel.shard import make_packed_fock_phases
@@ -88,6 +102,13 @@ class ShardedDFFockBuilder(FockBuilder):
             s = jnp.ones(Cs.shape[1])
         d = jnp.concatenate([
             jnp.asarray(D).reshape(-1)[self._pq_flat], jnp.zeros(1)])
+        if precision == "f32" and self.supports_f32_phase:
+            with timings.timed(JCTC.fock_time + "_device", iteration):
+                G = self._fock32(
+                    self.B32, d.astype(jnp.float32),
+                    Cs.astype(jnp.float32), s.astype(jnp.float32),
+                    self._col_map, self._pq_flat)
+            return np.asarray(G)
         if self.profile:
             # per-phase telemetry (reference JCTiming J/K per-iteration keys)
             with timings.timed(JCTC.J_time, iteration):
@@ -103,3 +124,4 @@ class ShardedDFFockBuilder(FockBuilder):
 
     def finalize(self):
         self.B = None
+        self.B32 = None

@@ -7,8 +7,68 @@ src/rhf/energy/SCF.jl:141-162,1072-1125 and EnergyHelpers.DIIS
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+# below this flop count the host dgemm beats the device round-trip (and, on
+# a cold cache, one ~30-60 s relay compile); above it the TPU f64 matmul wins
+_HOST_SOLVE_FLOPS = 5.0e10
+# fixed device chunk/pad sizes so the matmul kernel shape — and hence its
+# compilation — is shared across systems
+_COL_CHUNK = 16384
+_ROW_BUCKET = 256
+
+
+def triangular_inverse(L: np.ndarray) -> np.ndarray:
+    """L^{-1} for lower-triangular L via LAPACK dtrtri (host, f64)."""
+    from scipy.linalg.lapack import dtrtri
+
+    Linv, info = dtrtri(np.asarray(L, dtype=np.float64, order="F"), lower=1)
+    if info != 0:
+        import scipy.linalg as sla
+
+        Linv = sla.solve_triangular(L, np.eye(L.shape[0]), lower=True)
+    return Linv
+
+
+@lru_cache(maxsize=8)
+def _linv_matmul(Ap: int, cb: int):
+    return jax.jit(lambda Li, X: Li @ X)
+
+
+def apply_triangular_inverse(L: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """In-place B <- L^{-1} B for lower-triangular L (the DF metric fold,
+    calculate_B analog — ScreenedDF.jl:98-105).
+
+    Strategy: explicit L^{-1} on host LAPACK (exact f64; cond(L) =
+    sqrt(cond(metric)) keeps the inverse-application error ~cond*eps, well
+    under integral accuracy), applied as a plain matmul.  XLA's emulated-f64
+    *triangular solve* on TPU needed ~12x the RHS in HBM temps and ran far
+    off MXU speed (round-2: 109 s of B_time at w16); the matmul form runs at
+    the emulated-f64 matmul rate with one small kernel.  Small systems stay
+    entirely on host (dgemm beats the device round-trip below ~5e10 flops).
+    """
+    A, ncols = B.shape
+    Linv = triangular_inverse(L)
+    if 2.0 * A * A * ncols < _HOST_SOLVE_FLOPS:
+        np.matmul(Linv, B, out=B)
+        return B
+    Ap = -(-A // _ROW_BUCKET) * _ROW_BUCKET
+    Lp = np.zeros((Ap, Ap))
+    Lp[:A, :A] = Linv
+    Lj = jnp.asarray(Lp)
+    kern = _linv_matmul(Ap, _COL_CHUNK)
+    buf = np.zeros((Ap, _COL_CHUNK))
+    for s in range(0, ncols, _COL_CHUNK):
+        w = min(_COL_CHUNK, ncols - s)
+        buf[:A, :w] = B[:, s:s + w]
+        if w < _COL_CHUNK:
+            buf[:, w:] = 0.0
+        B[:, s:s + w] = np.asarray(kern(Lj, jnp.asarray(buf)))[:A, :w]
+    return B
 
 
 def orthogonalizer(S: np.ndarray, lindep_thresh: float = 1.0e-6):

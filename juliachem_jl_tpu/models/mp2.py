@@ -54,13 +54,110 @@ def _e2_kernel(Bia, eps_occ, eps_virt):
 _e2_jit = jax.jit(_e2_kernel)
 
 
+def make_sharded_e2(mesh, npq1: int, nbf: int, nocc_pad: int, n_i_blk: int):
+    """Sharded E2: packed-B shards -> local MO transform -> all_gather of
+    B_ia over the mesh -> disjoint i-blocks per device -> scalar psum.
+
+    The multi-chip mapping sketched in the module docstring: the AO->MO
+    transform is local to each device's Q rows (zero comms), B_ia rides one
+    all_gather over ICI, and the ij-pair gemm scan splits its i axis across
+    the mesh (BASELINE.json "MP2 on S22 ... multi-chip" config).
+
+    Padding conventions (all handled without masks): occupied/virtual
+    columns padded with zero C columns give exactly-zero B_ia slices, and
+    their eps pads (-1e3 / +1e3) keep every denominator nonzero.
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    nk = mesh.shape["k"]
+
+    def local_e2(B_blk, col_map, Cocc, Cvirt, eps_occ, eps_virt):
+        tile = B_blk[:, col_map].reshape(-1, nbf, nbf)
+        t = jnp.einsum("qmn,mi->qin", tile, Cocc)
+        Bia_l = jnp.einsum("qin,na->qia", t, Cvirt)      # [A_l, no_p, nv_p]
+        Bia = jax.lax.all_gather(Bia_l, ("q", "k"), axis=0, tiled=True)
+        dev = jax.lax.axis_index("q") * nk + jax.lax.axis_index("k")
+        i0 = dev * n_i_blk
+
+        def body(carry, k):
+            i = jnp.minimum(i0 + k, nocc_pad - 1)
+            Bi = jax.lax.dynamic_index_in_dim(Bia, i, axis=1, keepdims=False)
+            iajb = jnp.einsum("qa,qjb->jab", Bi, Bia)
+            denom = (eps_occ[i] + eps_occ[:, None, None]
+                     - eps_virt[None, :, None] - eps_virt[None, None, :])
+            t2 = iajb / denom
+            e = jnp.sum(t2 * (2.0 * iajb - jnp.swapaxes(iajb, -1, -2)))
+            # duplicate clamped trailing i's contribute zero (zero C column),
+            # so no explicit mask is needed
+            return carry + e, None
+
+        e_loc, _ = jax.lax.scan(body, 0.0, jnp.arange(n_i_blk))
+        return jax.lax.psum(e_loc, ("q", "k"))
+
+    fn = shard_map(
+        local_e2, mesh=mesh,
+        in_specs=(P(("q", "k"), None), P(), P(), P(), P(), P()),
+        out_specs=P(), check_vma=False)
+    return jax.jit(fn)
+
+
+def ri_mp2_energy_sharded(rhf_result, basis_sets, n_devices: int,
+                          opts=None) -> dict:
+    """Multi-chip RI-MP2: packed B built/sharded over the mesh
+    (parallel/build.py), E2 via make_sharded_e2."""
+    from ..parallel import mesh as mesh_mod
+    from ..parallel.build import build_B_packed_sharded
+
+    primary = basis_sets.primary
+    if basis_sets.auxiliary is None:
+        raise ValueError("RI-MP2 requires an auxiliary basis")
+    mesh = mesh_mod.make_mesh(n_devices)
+    B_sh, screen, A_pad, qc, n_chunks = build_B_packed_sharded(
+        primary, basis_sets.auxiliary, mesh, opts)
+
+    C = np.asarray(rhf_result["MO Coeff"])
+    eps = np.asarray(rhf_result["MO Energies"])
+    nocc = int(primary.nels // 2)
+    nbf = primary.nbf
+    nmo = C.shape[1]
+    nvirt = nmo - nocc
+    ndev = mesh.devices.size
+    n_i_blk = -(-nocc // ndev)
+    nocc_pad = n_i_blk * ndev
+    nv_pad = -(-max(nvirt, 1) // 8) * 8
+
+    Cocc = np.zeros((nbf, nocc_pad))
+    Cocc[:, :nocc] = C[:, :nocc]
+    Cvirt = np.zeros((nbf, nv_pad))
+    Cvirt[:, :nvirt] = C[:, nocc:]
+    eo = np.full(nocc_pad, -1.0e3)
+    eo[:nocc] = eps[:nocc]
+    ev = np.full(nv_pad, 1.0e3)
+    ev[:nvirt] = eps[nocc:]
+
+    e2_fn = make_sharded_e2(mesh, screen.npq + 1, nbf, nocc_pad, n_i_blk)
+    e2 = float(e2_fn(B_sh, jnp.asarray(screen.col_map), jnp.asarray(Cocc),
+                     jnp.asarray(Cvirt), jnp.asarray(eo), jnp.asarray(ev)))
+    return {
+        "E2": e2,
+        "Energy": float(rhf_result["Energy"]) + e2,
+        "E_HF": float(rhf_result["Energy"]),
+    }
+
+
 def ri_mp2_energy(rhf_result, basis_sets, mol=None, B=None, opts=None) -> dict:
     """Compute the RI-MP2 correlation energy from a converged RHF result.
 
     Uses the auxiliary basis of basis_sets (RIFIT recommended); reuses a
-    prebuilt B tensor if given.
+    prebuilt B tensor if given.  num_devices > 1 in opts routes to the
+    mesh-sharded path (ri_mp2_energy_sharded).
     """
     from .df import build_B
+
+    n_dev = int(getattr(opts, "num_devices", 1) or 1) if opts is not None else 1
+    if B is None and n_dev > 1:
+        return ri_mp2_energy_sharded(rhf_result, basis_sets, n_dev, opts)
 
     primary = basis_sets.primary
     aux = basis_sets.auxiliary

@@ -52,6 +52,18 @@ class FockBuilder:
         pass
 
 
+def _device_bytes_in_use():
+    """Live HBM bytes on device 0, or None where the backend has no
+    allocator stats (CPU)."""
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats()
+        return int(stats["bytes_in_use"]) if stats else None
+    except Exception:
+        return None
+
+
 def electronic_energy(D, H, F) -> float:
     """E_elec = 1/2 sum D (H + F)  (reference SCF.jl:1110-1125 convention,
     D = 2 C_occ C_occ^T)."""
@@ -125,9 +137,12 @@ def scf_loop(
                     D_fock_ref = state.D.copy()
         F = state.H + np.asarray(G)
 
-        # DIIS on e = F D S - S D F (SCF.jl:472-501).  Wild early Fock
-        # matrices (hcore guess on clusters) are kept out of the subspace:
-        # extrapolation starts once the commutator is moderate.
+        # DIIS on e = F D S - S D F.  Deliberate deviation from the
+        # reference (SCF.jl:472-501 pushes every iterate): wild early Fock
+        # matrices (hcore guess on clusters) are kept out of the subspace
+        # until the commutator is moderate.  Converged energies are
+        # unaffected (same fixed point); iteration traces can differ from
+        # the reference's in the first few cycles.
         with timings.timed(JCTC.diis_time, it):
             e_vec = F @ state.D @ state.S - state.S @ state.D @ F
             e_max = float(np.abs(e_vec).max())
@@ -164,8 +179,21 @@ def scf_loop(
 
         t_el = time.perf_counter() - t_it
         timings.record(JCTC.iteration_time, t_el, it)
+        # memory telemetry each iteration (the reference logs
+        # Base.summarysize(scf_data) — DensityFitting.jl:226-228): host-side
+        # SCF state bytes plus live device HBM when the backend reports it
+        host_b = sum(int(a.nbytes) for a in (state.H, state.S, state.X,
+                                             state.F, state.D, state.C)
+                     if a is not None)
+        timings.record(JCTC.scf_data_bytes, float(host_b), it)
+        dev_b = _device_bytes_in_use()
+        if dev_b is not None:
+            timings.record(JCTC.device_memory_bytes, float(dev_b), it)
         if output >= 2:
-            print(f"{it:4d} {E_elec + e_nuc:20.10f} {dE:12.3e} {d_rms:12.3e} {t_el:8.2f}")
+            mem = f" {host_b / 1e6:7.1f}MB" + (
+                f" hbm {dev_b / 1e9:6.2f}GB" if dev_b is not None else "")
+            print(f"{it:4d} {E_elec + e_nuc:20.10f} {dE:12.3e} {d_rms:12.3e} "
+                  f"{t_el:8.2f}{mem}")
 
         if checkpoint_path and (it % checkpoint_every == 0):
             save_checkpoint(state, checkpoint_path, e_nuc, fingerprint)

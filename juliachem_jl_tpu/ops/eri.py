@@ -52,22 +52,23 @@ def _eri_kernel_body(la, lb, lc, ld, Ka, Kb, Kc, Kd):
     ncd = ncart(lc) * ncart(ld)
 
     def f(aexp, bexp, acoef, bcoef, A, B, cexp, dexp, ccoef, dcoef, C, D):
+        xp = np if isinstance(aexp, np.ndarray) else jnp
         Eab, p, P = bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B)
         Ecd, q, Q = bra_hermite(lc, ld, cexp, dexp, ccoef, dcoef, C, D)
 
         PQ = P[:, :, None, :] - Q[:, None, :, :]          # [N,K2b,K2k,3]
         psum = p[:, :, None] + q[:, None, :]
         alpha = p[:, :, None] * q[:, None, :] / psum
-        Targ = alpha * jnp.sum(PQ**2, axis=-1)
-        pref = TWO_PI_POW_2_5 / (p[:, :, None] * q[:, None, :] * jnp.sqrt(psum))
+        Targ = alpha * xp.sum(PQ**2, axis=-1)
+        pref = TWO_PI_POW_2_5 / (p[:, :, None] * q[:, None, :] * xp.sqrt(psum))
         F = boys(Targ, L) * pref[..., None]
         R = r_tensor(L, alpha, PQ, F)                     # [N,K2b,K2k,nherm(L)]
 
-        M = R[..., comb] * jnp.asarray(sign)[None, None, None, None, :]
+        M = R[..., comb] * xp.asarray(sign)[None, None, None, None, :]
         # contract ket: T1[n,kb,h,cd] = sum_{kk,h'} M * Ecd
-        T1 = jnp.einsum("nqkhg,nkcg->nqhc", M, Ecd)
+        T1 = xp.einsum("nqkhg,nkcg->nqhc", M, Ecd)
         # contract bra: out[n,ab,cd] = sum_{kb,h} Eab * T1
-        out = jnp.einsum("nqah,nqhc->nac", Eab, T1)
+        out = xp.einsum("nqah,nqhc->nac", Eab, T1)
         return out
 
     return f
@@ -79,17 +80,41 @@ def _eri_kernel(la, lb, lc, ld, Ka, Kb, Kc, Kd):
     return jax.jit(_eri_kernel_body(la, lb, lc, ld, Ka, Kb, Kc, Kd))
 
 
-def eri_block(bra: PairBlock, ket: PairBlock, sel_bra, sel_ket, chunk=1024):
+def eri_block(bra: PairBlock, ket: PairBlock, sel_bra, sel_ket, chunk=1024,
+              host: bool = True):
     """ERI blocks for quartets (bra[sel_bra[i]], ket[sel_ket[i]]).
 
     Returns numpy [len(sel), nca*ncb, ncc*ncd].
+
+    host=True (default) evaluates the class kernel with numpy on the host:
+    the setup-phase consumers (Schwarz bounds, 2-center metric, SAD atomic
+    ERIs) are tiny compute, and XLA compilation of each class kernel costs
+    ~40 s on this host (CPU backend and TPU relay alike) — far more than
+    the numpy runtime.  host=False uses the jitted device kernel (the bulk
+    path used by the in-core conventional Fock cache).
     """
+    n = len(sel_bra)
+    if host:
+        body = _eri_kernel_body(
+            bra.la, bra.lb, ket.la, ket.lb,
+            bra.aexp.shape[1], bra.bexp.shape[1],
+            ket.aexp.shape[1], ket.bexp.shape[1],
+        )
+        outs = []
+        for s in range(0, n, chunk):
+            ib, ik = sel_bra[s:s + chunk], sel_ket[s:s + chunk]
+            outs.append(np.asarray(body(
+                bra.aexp[ib], bra.bexp[ib], bra.acoef[ib], bra.bcoef[ib],
+                bra.A[ib], bra.B[ib],
+                ket.aexp[ik], ket.bexp[ik], ket.acoef[ik], ket.bcoef[ik],
+                ket.A[ik], ket.B[ik],
+            )))
+        return np.concatenate(outs, axis=0)
     kern = _eri_kernel(
         bra.la, bra.lb, ket.la, ket.lb,
         bra.aexp.shape[1], bra.bexp.shape[1],
         ket.aexp.shape[1], ket.bexp.shape[1],
     )
-    n = len(sel_bra)
     outs = []
     chunk = min(chunk, max(n, 1))
     for s in range(0, n, chunk):

@@ -218,8 +218,12 @@ def three_center_tensor(
             kern = _threecenter_fused_kernel(
                 pblk.la, pblk.lb, pblk.aexp.shape[1], pblk.bexp.shape[1],
                 bmeta)
+            # csize depends ONLY on (class, bucket meta) — never on n — so the
+            # kernel shape (and its ~30-60 s relay compilation) is shared
+            # across every system in a sweep; small blocks pad up instead
+            # (cheap compute vs another compile).
             csize = int(BUDGET / max(k2b * bwork, 1))
-            csize = max(16, min(chunk, csize, max(n, 1)))
+            csize = max(16, min(chunk, csize))
             # round to power-of-two bucket to bound compile variants
             csize = 1 << (csize.bit_length() - 1)
 

@@ -26,7 +26,7 @@ import numpy as np
 from ..basis.structs import Basis, ncart
 from ..models.scf import FockBuilder
 from ..utils.timings import JCTC, Timings
-from .eri import _eri_kernel, full_eri_tensor
+from .eri import _eri_kernel, _eri_kernel_body, full_eri_tensor
 from .pairs import PairBlock, unique_pair_blocks
 from .schwarz import pair_schwarz
 
@@ -188,6 +188,173 @@ def _make_digest(la, lb, lc, ld, nbf):
                    donate_argnums=(0, 1))
 
 
+# ------------------------------------------------------- fused v2 digestion
+#
+# The per-image scatter-adds above are the TPU's weak spot (serialized
+# conflicting updates; round-2 measured 5.5 s/iter at w8 against 0.19 s for
+# DF).  The v2 path exploits that the whole scatter pattern is static per
+# geometry: each batch becomes ONE jitted program — a lax.scan over fixed
+# CH-quartet chunks producing the six J/K value streams, followed by a
+# two-level padded gather-sum (ops/segsum.py) whose plan was precomputed on
+# the host.  Per iteration the only scatter left is one unique-index add of
+# the reduced targets.  Direct mode folds the ERI class kernel into the same
+# scan (no giant I tensor ever materializes); in-core mode scans over the
+# cached ERI chunk stack.
+
+_CH = 2048  # quartets per scan chunk (value streams stay ~CH*nc_img wide)
+
+
+def _bucket_chunks(n: int) -> int:
+    """Round a chunk count up to {p, 1.5p} granularity: bounded pad waste
+    (<=33%) with few distinct scan lengths, so the fused kernels (30-60 s
+    each through the TPU compile relay) are shared across geometries."""
+    if n <= 1:
+        return 1
+    p = 1 << (n - 1).bit_length()
+    return (3 * p // 4) if n <= 3 * p // 4 else p
+
+
+@dataclass
+class DigestGroup:
+    """Device-resident inputs + reduction plan for one quartet batch."""
+
+    key: tuple
+    n_chunks: int
+    xs_prim: tuple          # 12 stacked primitive arrays [nc, CH, ...]
+    w: object               # [nc, CH]
+    idxs: tuple             # 6 int stacked index streams [nc, CH*nc_img]
+    plan: object            # ONE GatherPlan over the concatenated streams
+    m_pad: int = 0          # bucketed value-stream length
+    I_stack: object = None  # [nc, CH, nab, ncd] cached ERIs (in-core)
+    vol: int = 0            # padded ERI element count
+
+
+def _build_group(b: QuartetBatch, nbf_pad: int) -> DigestGroup:
+    from .segsum import GatherPlan
+
+    key = (b.bra.la, b.bra.lb, b.ket.la, b.ket.lb,
+           b.bra.aexp.shape[1], b.bra.bexp.shape[1],
+           b.ket.aexp.shape[1], b.ket.bexp.shape[1])
+    n = len(b.sel_bra)
+    nc = _bucket_chunks(-(-n // _CH))
+    n_pad = nc * _CH
+    P2 = nbf_pad * nbf_pad
+
+    def padq(x):
+        if n_pad != n:
+            x = np.concatenate([x, np.repeat(x[:1], n_pad - n, axis=0)])
+        return x
+
+    sb = padq(b.sel_bra)
+    sk = padq(b.sel_ket)
+    w = np.concatenate([b.weight, np.zeros(n_pad - n)]) if n_pad != n else b.weight
+
+    def stk(x, sel):
+        y = x[sel]
+        return jnp.asarray(y.reshape((nc, _CH) + y.shape[1:]))
+
+    xs_prim = (
+        stk(b.bra.aexp, sb), stk(b.bra.bexp, sb),
+        stk(b.bra.acoef, sb), stk(b.bra.bcoef, sb),
+        stk(b.bra.A, sb), stk(b.bra.B, sb),
+        stk(b.ket.aexp, sk), stk(b.ket.bexp, sk),
+        stk(b.ket.acoef, sk), stk(b.ket.bcoef, sk),
+        stk(b.ket.A, sk), stk(b.ket.B, sk),
+    )
+
+    # J images scatter into JK[0:P2], K images into JK[P2:2*P2].  The six
+    # per-image streams concatenate into ONE target stream / ONE GatherPlan
+    # per group, so each iteration ends in a single shared-shape reduction
+    # call instead of six per group (each distinct reduction shape costs a
+    # ~30-60 s relay compile).
+    idxs, streams = [], []
+    for img, base in ((b.idx_ab, 0), (b.idx_cd, 0), (b.idx_ac, P2),
+                      (b.idx_ad, P2), (b.idx_bc, P2), (b.idx_bd, P2)):
+        stream = padq(img).reshape(n_pad, -1).astype(np.int64)
+        streams.append(stream.reshape(-1) + base)
+        idxs.append(jnp.asarray(
+            stream.reshape(nc, -1).astype(
+                np.int32 if P2 < 2**31 else np.int64)))
+    all_streams = np.concatenate(streams)
+    # value streams zero-pad to a bucketed length so the reduction kernel
+    # shape is shared across groups (and geometries)
+    m_pad = _bucket_chunks(-(-all_streams.size // _CH)) * _CH
+    plan = GatherPlan(all_streams, 2 * P2, m_pad=m_pad)
+    nab = b.idx_ab.shape[1]
+    ncd = b.idx_cd.shape[1]
+    return DigestGroup(key=key, n_chunks=nc, xs_prim=xs_prim,
+                       w=jnp.asarray(w.reshape(nc, _CH)), idxs=tuple(idxs),
+                       plan=plan, m_pad=m_pad, vol=n_pad * nab * ncd)
+
+
+def _digest_vals_body(nca, ncb, ncc, ncd):
+    """Per-chunk value computation shared by the direct/in-core variants."""
+
+    def vals(I, w, Dm, idx_ab, idx_cd, idx_ac, idx_ad, idx_bc, idx_bd):
+        N = I.shape[0]
+        I4 = (I * w[:, None, None]).reshape(N, nca, ncb, ncc, ncd)
+
+        def gD(idx, n1, n2):
+            return Dm[idx.reshape(N, n1, n2)]
+
+        j_ab = 2.0 * jnp.einsum("nabcd,ncd->nab", I4, gD(idx_cd, ncc, ncd))
+        j_cd = 2.0 * jnp.einsum("nabcd,nab->ncd", I4, gD(idx_ab, nca, ncb))
+        k_ac = jnp.einsum("nabcd,nbd->nac", I4, gD(idx_bd, ncb, ncd))
+        k_ad = jnp.einsum("nabcd,nbc->nad", I4, gD(idx_bc, ncb, ncc))
+        k_bc = jnp.einsum("nabcd,nad->nbc", I4, gD(idx_ad, nca, ncd))
+        k_bd = jnp.einsum("nabcd,nac->nbd", I4, gD(idx_ac, nca, ncc))
+        return tuple(x.reshape(x.shape[0], -1)
+                     for x in (j_ab, j_cd, k_ac, k_ad, k_bc, k_bd))
+
+    return vals
+
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _fused_digest_direct(la, lb, lc, ld, Ka, Kb, Kc, Kd, m_pad):
+    """Direct-mode program per class: scan(ERI kernel + digestion) -> one
+    zero-padded value stream (no giant I tensor ever materializes)."""
+    eri_f = _eri_kernel_body(la, lb, lc, ld, Ka, Kb, Kc, Kd)
+    vals_f = _digest_vals_body(ncart(la), ncart(lb), ncart(lc), ncart(ld))
+
+    def run(D, w, idxs, xs_prim):
+        Dm = D.reshape(-1)
+
+        def body(_, xs):
+            wc, idx6, prim = xs
+            return 0, vals_f(eri_f(*prim), wc, Dm, *idx6)
+
+        _, ys = jax.lax.scan(body, 0, (w, idxs, xs_prim))
+        v = jnp.concatenate([y.reshape(-1) for y in ys])
+        return jnp.pad(v, (0, m_pad - v.size))
+
+    return jax.jit(run)
+
+
+@_lru_cache(maxsize=None)
+def _digest_incore(nca, ncb, ncc, ncd, m_pad):
+    """In-core digestion per *component-shape* class (keys collapse across
+    contraction patterns): scan over the cached ERI chunk stack -> one
+    zero-padded value stream.  Kept free of the ERI body and of the
+    reduction so the compiled graph is small and shared."""
+    vals_f = _digest_vals_body(nca, ncb, ncc, ncd)
+
+    def run(D, w, idxs, I_stack):
+        Dm = D.reshape(-1)
+
+        def body(_, xs):
+            wc, idx6, I = xs
+            return 0, vals_f(I, wc, Dm, *idx6)
+
+        _, ys = jax.lax.scan(body, 0, (w, idxs, I_stack))
+        v = jnp.concatenate([y.reshape(-1) for y in ys])
+        return jnp.pad(v, (0, m_pad - v.size))
+
+    return jax.jit(run)
+
+
 INCORE_BUDGET_ELEMENTS = 400_000_000  # ~3.2 GB of f64 ERI blocks
 
 
@@ -195,107 +362,64 @@ class ScreenedDirectFock(FockBuilder):
     """Class-batched, Schwarz-screened direct Fock build (production CPU/TPU
     conventional path; replaces SCF.jl:665-1054).
 
-    incore: cache the screened ERI blocks after the first build and reuse
-    them every iteration (in-core SCF — a capability the reference lacks;
-    it is direct-only).  Auto-enabled when the screened integral volume fits
-    the budget."""
+    One fused jitted program per quartet batch per iteration (scan over
+    CH-quartet chunks + gather-sum reduction; see the v2 digestion notes
+    above) — the scatter-bound per-image digestion it replaces was 28x
+    slower than the DF path at w8.
+
+    incore: cache the screened ERI chunk stacks after the first build and
+    reuse them every iteration (in-core SCF — a capability the reference
+    lacks; it is direct-only).  Auto-enabled when the screened integral
+    volume fits the budget."""
 
     def __init__(self, basis: Basis, cutoff: float = DEFAULT_CUTOFF,
-                 chunk: int = 2048, incore: bool | None = None):
+                 chunk: int = _CH, incore: bool | None = None):
         self.basis = basis
         self.nbf = basis.nbf
         # bucket nbf so digestion kernels are shared across molecules
         self.nbf_pad = -(-basis.nbf // 128) * 128
-        self.chunk = chunk
         self.batches, self.Q = build_quartet_batches(
             basis, cutoff, nbf_pad=self.nbf_pad)
-        self._digesters = {}
-        self._eri_kerns = {}
+        self.groups = [_build_group(b, self.nbf_pad) for b in self.batches]
         if incore is None:
-            vol = sum(
-                len(b.sel_bra) * b.idx_ab.shape[1] * b.idx_cd.shape[1]
-                for b in self.batches
-            )
-            incore = vol <= INCORE_BUDGET_ELEMENTS
+            incore = sum(g.vol for g in self.groups) <= INCORE_BUDGET_ELEMENTS
         self.incore = incore
-        self._eri_cache: dict[tuple[int, int], object] = {}
 
-    def _get_fns(self, b: QuartetBatch):
-        key = (b.bra.la, b.bra.lb, b.ket.la, b.ket.lb,
-               b.bra.aexp.shape[1], b.bra.bexp.shape[1],
-               b.ket.aexp.shape[1], b.ket.bexp.shape[1])
-        if key not in self._digesters:
-            self._digesters[key] = _make_digest(*key[:4], self.nbf_pad)
-            self._eri_kerns[key] = _eri_kernel(*key)
-        return self._eri_kerns[key], self._digesters[key]
-
-    def _chunk_inputs(self, bi: int, s: int):
-        """ERI block + digestion inputs for chunk s of batch bi, cached
-        on-device when incore is enabled."""
-        key = (bi, s)
-        if key in self._eri_cache:
-            return self._eri_cache[key]
-
-        b = self.batches[bi]
-        eri_kern, _ = self._get_fns(b)
-        n = len(b.sel_bra)
-        chunk = min(self.chunk, max(n, 1))
-        e = min(s + chunk, n)
-        sb, sk = b.sel_bra[s:e], b.sel_ket[s:e]
-        w = b.weight[s:e]
-        pads = chunk - (e - s)
-        if pads:
-            sb = np.concatenate([sb, np.repeat(sb[:1], pads)])
-            sk = np.concatenate([sk, np.repeat(sk[:1], pads)])
-            w = np.concatenate([w, np.zeros(pads)])
-
-        def gsl(x, sel):
-            return jnp.asarray(x[sel])
-
-        I = eri_kern(
-            gsl(b.bra.aexp, sb), gsl(b.bra.bexp, sb),
-            gsl(b.bra.acoef, sb), gsl(b.bra.bcoef, sb),
-            gsl(b.bra.A, sb), gsl(b.bra.B, sb),
-            gsl(b.ket.aexp, sk), gsl(b.ket.bexp, sk),
-            gsl(b.ket.acoef, sk), gsl(b.ket.bcoef, sk),
-            gsl(b.ket.A, sk), gsl(b.ket.B, sk),
-        )
-
-        def pad_idx(x):
-            part = x[s:e]
-            if pads:
-                part = np.concatenate([part, np.repeat(part[:1], pads, axis=0)])
-            return jnp.asarray(part)
-
-        out = (
-            I, jnp.asarray(w),
-            pad_idx(b.idx_ab), pad_idx(b.idx_cd),
-            pad_idx(b.idx_ac), pad_idx(b.idx_ad),
-            pad_idx(b.idx_bc), pad_idx(b.idx_bd),
-        )
-        if self.incore:
-            self._eri_cache[key] = out
-        return out
+    def _fill_incore(self, g: DigestGroup):
+        """Cache the ERI chunk stack for one group via the shared per-class
+        ERI kernel (no extra compiled program)."""
+        kern = _eri_kernel(*g.key)
+        parts = [kern(*(x[c] for x in g.xs_prim)) for c in range(g.n_chunks)]
+        g.I_stack = jnp.stack(parts)
 
     def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
         nbf, nbf_pad = self.nbf, self.nbf_pad
+        P2 = nbf_pad * nbf_pad
         D = jnp.asarray(D)
         if nbf_pad != nbf:
             D = jnp.pad(D, ((0, nbf_pad - nbf), (0, nbf_pad - nbf)))
-        J_ws = jnp.zeros(nbf_pad * nbf_pad)
-        K_ws = jnp.zeros(nbf_pad * nbf_pad)
-        for bi, b in enumerate(self.batches):
-            _, digest = self._get_fns(b)
-            n = len(b.sel_bra)
-            chunk = min(self.chunk, max(n, 1))
-            for s in range(0, n, chunk):
-                I, w, *idxs = self._chunk_inputs(bi, s)
-                J_ws, K_ws = digest(J_ws, K_ws, I, w, D, *idxs)
-        J = J_ws.reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
-        K = K_ws.reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
+        JK = jnp.zeros(2 * P2)
+        from .segsum import reduce_into
+
+        for g in self.groups:
+            if self.incore:
+                if g.I_stack is None:
+                    self._fill_incore(g)
+                la, lb, lc, ld = g.key[:4]
+                vals = _digest_incore(
+                    ncart(la), ncart(lb), ncart(lc), ncart(ld),
+                    g.m_pad)(D, g.w, g.idxs, g.I_stack)
+            else:
+                vals = _fused_digest_direct(*g.key, g.m_pad)(
+                    D, g.w, g.idxs, g.xs_prim)
+            JK = reduce_into(g.plan, JK, vals)
+        JK = np.asarray(JK)
+        J = JK[:P2].reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
+        K = JK[P2:].reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
         J = J + J.T
         K = K + K.T
         return np.asarray(J - 0.5 * K)
 
     def finalize(self):
-        self._eri_cache.clear()
+        for g in self.groups:
+            g.I_stack = None

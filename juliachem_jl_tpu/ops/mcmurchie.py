@@ -22,6 +22,14 @@ from .boys import boys
 from .class_tables import herm_list, pair_tables
 
 
+def _xp(x):
+    """Array namespace for x: numpy for host (setup-phase) calls, jnp under
+    trace.  The recurrences are pure array programs, so the same code serves
+    both; the host path exists because XLA compilation of these class
+    kernels costs ~40 s each on this 1-core host."""
+    return np if isinstance(x, np.ndarray) else jnp
+
+
 def pair_primitive_data(aexp, bexp, acoef, bcoef, A, B):
     """Flatten a batch of contracted shell pairs into primitive-pair arrays.
 
@@ -30,10 +38,11 @@ def pair_primitive_data(aexp, bexp, acoef, bcoef, A, B):
     (K2 = Ka*Kb).  Padded primitives carry coefficient 0 (exponent 1) so they
     contribute exactly zero.
     """
+    xp = _xp(aexp)
     N, Ka = aexp.shape
     Kb = bexp.shape[1]
-    a = jnp.repeat(aexp, Kb, axis=1)                  # [N, K2]
-    b = jnp.tile(bexp, (1, Ka))
+    a = xp.repeat(aexp, Kb, axis=1)                   # [N, K2]
+    b = xp.tile(bexp, (1, Ka))
     cc = (acoef[:, :, None] * bcoef[:, None, :]).reshape(N, Ka * Kb)
     p = a + b
     mu = a * b / p
@@ -54,10 +63,11 @@ def e_dense(la: int, lb: int, prim) -> jnp.ndarray:
     p, mu = prim["p"], prim["mu"]
     PA, PB = prim["PA"], prim["PB"]                   # [N, K2, 3]
     AB = prim["AB"]                                   # [N, 3]
+    xp = _xp(p)
     oo2p = (0.5 / p)[:, :, None]                      # [N, K2, 1]
-    zero = jnp.zeros_like(PA)
+    zero = xp.zeros_like(PA)
 
-    e = {(0, 0, 0): jnp.exp(-mu[:, :, None] * AB[:, None, :] ** 2)}
+    e = {(0, 0, 0): xp.exp(-mu[:, :, None] * AB[:, None, :] ** 2)}
 
     def get(i, j, t):
         if t < 0 or t > i + j:
@@ -85,9 +95,9 @@ def e_dense(la: int, lb: int, prim) -> jnp.ndarray:
     for i in range(la + 1):
         cols = []
         for j in range(lb + 1):
-            cols.append(jnp.stack([get(i, j, t) for t in range(L + 1)], axis=-1))
-        rows.append(jnp.stack(cols, axis=-2))
-    return jnp.stack(rows, axis=-3)                   # [N,K2,3,la+1,lb+1,L+1]
+            cols.append(xp.stack([get(i, j, t) for t in range(L + 1)], axis=-1))
+        rows.append(xp.stack(cols, axis=-2))
+    return xp.stack(rows, axis=-3)                    # [N,K2,3,la+1,lb+1,L+1]
 
 
 def hermite_expansion(la: int, lb: int, prim, fold_coefs: bool = True) -> jnp.ndarray:
@@ -116,7 +126,7 @@ def hermite_expansion(la: int, lb: int, prim, fold_coefs: bool = True) -> jnp.nd
     )                                                  # [N,K2,nca,ncb,nh]
     N, K2 = Eab.shape[:2]
     Eab = Eab.reshape(N, K2, tab["nca"] * tab["ncb"], tab["nh"])
-    Eab = Eab * jnp.asarray(tab["axial"])[None, None, :, None]
+    Eab = Eab * _xp(Eab).asarray(tab["axial"])[None, None, :, None]
     if fold_coefs:
         Eab = Eab * prim["cc"][:, :, None, None]
     return Eab
@@ -129,9 +139,10 @@ def r_tensor(L: int, alpha, X, F) -> jnp.ndarray:
     (any linear prefactor may be pre-multiplied into F).
     Returns [..., nherm(L)].
     """
+    xp = _xp(alpha)
     Xd = [X[..., 0], X[..., 1], X[..., 2]]
     m2a = -2.0 * alpha
-    pows = [jnp.ones_like(alpha)]
+    pows = [xp.ones_like(alpha)]
     for n in range(1, L + 1):
         pows.append(pows[-1] * m2a)
 
@@ -160,7 +171,7 @@ def r_tensor(L: int, alpha, X, F) -> jnp.ndarray:
         memo[key] = val
         return val
 
-    return jnp.stack([R(0, t, u, v) for (t, u, v) in herm_list(L)], axis=-1)
+    return xp.stack([R(0, t, u, v) for (t, u, v) in herm_list(L)], axis=-1)
 
 
 __all__ = ["pair_primitive_data", "e_dense", "hermite_expansion", "r_tensor", "boys"]

@@ -18,15 +18,12 @@ from __future__ import annotations
 
 from functools import lru_cache
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..basis.structs import Basis, axial_normalization, cart_components, ncart
-from .boys import boys
+from .boys import boys_np
 from .class_tables import herm_index, herm_list, pair_tables
 from .mcmurchie import e_dense, pair_primitive_data, r_tensor
-from .oei import _chunked
 from .pairs import PairBlock, block_scatter_indices, unique_pair_blocks
 
 _CHUNK = 2048
@@ -66,9 +63,10 @@ def _expansion(E, ia, ib, hl, dim=None, delta=0, side="bra"):
 
 
 @lru_cache(maxsize=None)
-def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
-    """Jitted kernel: per-pair dS/dA, dT/dA (d/dB = -d/dA), dV/dA, dV/dB and
-    the per-nucleus dV/dC blocks for one class pair."""
+def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int):
+    """Host (numpy) kernel: per-pair dS/dA, dT/dA (d/dB = -d/dA), dV/dA,
+    dV/dB and the per-nucleus dV/dC blocks for one class pair.  Runs on the
+    host like ops/oei.py — tiny compute, and compilation would dominate."""
     tab = pair_tables(la, lb)
     nca, ncb = tab["nca"], tab["ncb"]
     L = la + lb
@@ -86,11 +84,12 @@ def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
     ]
 
     def f(aexp, bexp, acoef, bcoef, A, B, coords, Z):
+        natom = coords.shape[0]
         prim = pair_primitive_data(aexp, bexp, acoef, bcoef, A, B)
         p, a, b, cc = prim["p"], prim["a"], prim["b"], prim["cc"]
-        pref = (jnp.pi / p) ** 1.5 * cc                      # [N,K2]
+        pref = (np.pi / p) ** 1.5 * cc                      # [N,K2]
         a2 = (2.0 * a)[:, :, None, None]
-        axj = jnp.asarray(ax)
+        axj = np.asarray(ax)
 
         # dense E with bra extended by 1, ket by 2 (kinetic needs j+2)
         E = e_dense(la + 1, lb + 2, prim)
@@ -98,7 +97,7 @@ def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
         def g(d, i_d, j_d):
             return E[:, :, d, i_d, j_d, 0]                   # [N,K2,nca,ncb]
 
-        iw = [jnp.asarray(ia_t[d], dtype=E.dtype) for d in range(3)]
+        iw = [np.asarray(ia_t[d], dtype=E.dtype) for d in range(3)]
 
         e0 = [g(d, ia_t[d], ib_t[d]) for d in range(3)]
         de = []
@@ -109,7 +108,7 @@ def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
 
         def k1d(d, i_d):
             j_d = ib_t[d]
-            jj = jnp.asarray(j_d, dtype=E.dtype)[None, None]
+            jj = np.asarray(j_d, dtype=E.dtype)[None, None]
             b4 = b[:, :, None, None]
             e_0 = g(d, i_d, j_d)
             e_2 = g(d, i_d, j_d + 2)
@@ -117,7 +116,7 @@ def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
             return (
                 -2.0 * b4**2 * e_2
                 + b4 * (2.0 * jj + 1.0) * e_0
-                - 0.5 * jj * (jj - 1.0) * jnp.where(jj >= 2, e_m, 0.0)
+                - 0.5 * jj * (jj - 1.0) * np.where(jj >= 2, e_m, 0.0)
             )
 
         k0 = [k1d(d, ia_t[d]) for d in range(3)]
@@ -128,14 +127,14 @@ def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
             dk.append(a2 * plus - iw[d][None, None] * minus)
 
         def contract(x):
-            return jnp.einsum("nk,nkab->nab", pref, x) * axj
+            return np.einsum("nk,nkab->nab", pref, x) * axj
 
-        dS = jnp.stack([
+        dS = np.stack([
             contract(de[0] * e0[1] * e0[2]),
             contract(e0[0] * de[1] * e0[2]),
             contract(e0[0] * e0[1] * de[2]),
         ], axis=1)                                           # [N,3,a,b]
-        dT = jnp.stack([
+        dT = np.stack([
             contract(dk[0] * e0[1] * e0[2] + de[0] * (k0[1] * e0[2] + e0[1] * k0[2])),
             contract(e0[0] * dk[1] * e0[2] + de[1] * (k0[0] * e0[2] + e0[0] * k0[2])),
             contract(e0[0] * e0[1] * dk[2] + de[2] * (k0[0] * e0[1] + e0[0] * k0[1])),
@@ -143,21 +142,21 @@ def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
 
         # ---- nuclear attraction derivatives --------------------------------
         PC = prim["P"][:, :, None, :] - coords[None, None, :, :]
-        Targ = p[:, :, None] * jnp.sum(PC**2, axis=-1)
-        F = boys(Targ, Lg)
-        F = F * (-(2.0 * jnp.pi / p))[:, :, None, None] * Z[None, None, :, None]
-        alpha = jnp.broadcast_to(p[:, :, None], Targ.shape)
+        Targ = p[:, :, None] * np.sum(PC**2, axis=-1)
+        F = boys_np(Targ, Lg)
+        F = F * (-(2.0 * np.pi / p))[:, :, None, None] * Z[None, None, :, None]
+        alpha = np.broadcast_to(p[:, :, None], Targ.shape)
         R = r_tensor(Lg, alpha, PC, F)                       # [N,K2,natom,nhG]
         Rsum = R.sum(axis=2)                                 # [N,K2,nhG]
 
-        axf = jnp.asarray(ax.reshape(-1))
+        axf = np.asarray(ax.reshape(-1))
         ccw = cc[:, :, None, None]
 
         def vcontract(Eexp, Rarr):
             # Eexp [N,K2,nca,ncb,nh'], Rarr [N,K2,nh'] -> [N,a,b]
             N = Eexp.shape[0]
             Ee = Eexp.reshape(N, Eexp.shape[1], nca * ncb, -1)
-            out = jnp.einsum("nkah,nkh->na", Ee, Rarr)
+            out = np.einsum("nkah,nkh->na", Ee, Rarr)
             return (out * axf[None, :]).reshape(N, nca, ncb)
 
         dVA, dVB = [], []
@@ -169,13 +168,13 @@ def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
             dVA.append(vcontract(Ed_a, Rsum))
 
             b2 = (2.0 * b)[:, :, None, None, None]
-            jw = jnp.asarray(ib_t[d], dtype=E.dtype)[None, None, :, :, None]
+            jw = np.asarray(ib_t[d], dtype=E.dtype)[None, None, :, :, None]
             Ep_b = _expansion(E, ia_t, ib_t, hlG, d, +1, "ket")
             Em_b = _expansion(E, ia_t, ib_t, hlG, d, -1, "ket")
             Ed_b = (b2 * Ep_b - jw * Em_b) * ccw[..., None]
             dVB.append(vcontract(Ed_b, Rsum))
-        dVA = jnp.stack(dVA, axis=1)                         # [N,3,a,b]
-        dVB = jnp.stack(dVB, axis=1)
+        dVA = np.stack(dVA, axis=1)                         # [N,3,a,b]
+        dVB = np.stack(dVB, axis=1)
 
         # per-nucleus Hellmann-Feynman term: dV/dCx = -sum E R^{(C)}_{t+1}
         Eab = _expansion(E, ia_t, ib_t, hlL) * ccw[..., None]
@@ -183,26 +182,22 @@ def _stv_grad_kernel(la: int, lb: int, Ka: int, Kb: int, natom: int):
         Eab = Eab.reshape(N, Eab.shape[1], nca * ncb, -1)
         dVC = []
         for d in range(3):
-            Rs = R[..., jnp.asarray(shift_maps[d])]          # [N,K2,natom,nhL]
-            out = -jnp.einsum("nkah,nkch->nca", Eab, Rs)
+            Rs = R[..., np.asarray(shift_maps[d])]          # [N,K2,natom,nhL]
+            out = -np.einsum("nkah,nkch->nca", Eab, Rs)
             dVC.append((out * axf[None, None, :]).reshape(N, natom, nca, ncb))
-        dVC = jnp.stack(dVC, axis=2)                         # [N,natom,3,a,b]
+        dVC = np.stack(dVC, axis=2)                         # [N,natom,3,a,b]
 
         return dS, dT, dVA, dVB, dVC
 
-    return jax.jit(f)
+    return f
 
 
 def stv_gradients(basis: Basis, mol):
     """Full derivative matrices dS, dT, dV [natom, 3, nbf, nbf]
     (GradHelpers.jl:65-467 assembly analog)."""
     nbf, natom = basis.nbf, mol.natom
-    natom_pad = max(8, 1 << (natom - 1).bit_length())
-    coords_p = np.zeros((natom_pad, 3))
-    coords_p[:natom] = mol.coords
-    Z_p = np.zeros(natom_pad)
-    Z_p[:natom] = mol.z
-    coords, Z = jnp.asarray(coords_p), jnp.asarray(Z_p)
+    coords = np.asarray(mol.coords, dtype=np.float64)
+    Z = np.asarray(mol.z, dtype=np.float64)
 
     dS = np.zeros((natom, 3, nbf, nbf))
     dT = np.zeros((natom, 3, nbf, nbf))
@@ -210,11 +205,15 @@ def stv_gradients(basis: Basis, mol):
 
     for blk in unique_pair_blocks(basis):
         kern = _stv_grad_kernel(blk.la, blk.lb, blk.aexp.shape[1],
-                                blk.bexp.shape[1], natom_pad)
-        ds, dt, dva, dvb, dvc = _chunked(
-            kern, (blk.aexp, blk.bexp, blk.acoef, blk.bcoef, blk.A, blk.B),
-            blk.n, extra=(coords, Z), chunk=_CHUNK)
-        dvc = dvc[:, :natom]
+                                blk.bexp.shape[1])
+        parts = [[], [], [], [], []]
+        for s0 in range(0, blk.n, _CHUNK):
+            sl = slice(s0, s0 + _CHUNK)
+            res = kern(blk.aexp[sl], blk.bexp[sl], blk.acoef[sl],
+                       blk.bcoef[sl], blk.A[sl], blk.B[sl], coords, Z)
+            for ps, r in zip(parts, res):
+                ps.append(r)
+        ds, dt, dva, dvb, dvc = (np.concatenate(ps, axis=0) for ps in parts)
         at_a = basis.shell_atom[blk.ish]
         at_b = basis.shell_atom[blk.jsh]
         ia, ib = block_scatter_indices(blk)                  # [n, nca, ncb]

@@ -50,8 +50,6 @@ def build_B_packed_sharded(primary: Basis, aux: Basis, mesh: Mesh,
 
     Returns (B_sharded [A_pad, npq+1] on P(("q","k"), None), screen,
     A_pad, q_chunk, n_chunks)."""
-    from jax.scipy.linalg import solve_triangular
-
     from ..models.df import screened_pair_blocks
     from ..models.df_screened import build_packed_screen
     from ..ops import eri3c
@@ -81,18 +79,11 @@ def build_B_packed_sharded(primary: Basis, aux: Basis, mesh: Mesh,
         P3 = np.concatenate(parts, axis=0)  # rows in global aux order
 
     with timings.timed(JCTC.B_time):
-        from ..models.df_screened import SOLVE_CHUNK_BUDGET
+        from ..models.linalg import apply_triangular_inverse
 
         L = np.linalg.cholesky(metric)
-        # column-chunked (see df_screened.build_B_packed: XLA's emulated-f64
-        # solve needs ~12x the RHS in HBM temps)
-        Lj = jnp.asarray(L)
-        A_rows = P3.shape[0]
-        cb = max(1024, int(SOLVE_CHUNK_BUDGET / (8 * A_rows)))
         B = P3
-        for s in range(0, npq1, cb):
-            B[:, s:s + cb] = np.asarray(solve_triangular(
-                Lj, jnp.asarray(B[:, s:s + cb]), lower=True))
+        apply_triangular_inverse(L, B)
         B[:, -1] = 0.0
 
     # pad rows so each device holds n_chunks x q_chunk rows exactly

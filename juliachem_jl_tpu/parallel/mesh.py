@@ -41,15 +41,34 @@ def initialize_distributed() -> bool:
     """
     import os
 
-    if jax.process_count() > 1:
-        return True
+    # NOTE: do not touch jax.process_count()/jax.devices() before
+    # jax.distributed.initialize() — any backend query initializes XLA and
+    # makes distributed bring-up impossible in this process.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     env = os.environ
     explicit = env.get("JAX_COORDINATOR_ADDRESS") or env.get(
         "COORDINATOR_ADDRESS")
-    cluster = any(k in env for k in (
-        "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE", "TPU_WORKER_HOSTNAMES",
-        "MEGASCALE_COORDINATOR_ADDRESS"))
-    if not explicit and not cluster:
+
+    def _multi(var):
+        try:
+            return int(env.get(var, "1")) > 1
+        except ValueError:
+            return False
+
+    # only auto-initialize when the detected cluster provably has >1
+    # process — a single-process shell inside a multi-task SLURM allocation
+    # (or with stale MPI variables) must NOT block waiting for peers.
+    # JCHEM_DISTRIBUTED=1 forces the attempt regardless.
+    n_tpu_hosts = len([h for h in env.get(
+        "TPU_WORKER_HOSTNAMES", "").split(",") if h.strip()])
+    cluster = (
+        _multi("SLURM_NTASKS") or _multi("OMPI_COMM_WORLD_SIZE")
+        or n_tpu_hosts > 1
+        or "MEGASCALE_COORDINATOR_ADDRESS" in env
+    )
+    forced = env.get("JCHEM_DISTRIBUTED") == "1"
+    if not explicit and not cluster and not forced:
         return False
     try:
         jax.distributed.initialize(
@@ -59,9 +78,12 @@ def initialize_distributed() -> bool:
             process_id=(int(env["JAX_PROCESS_ID"])
                         if "JAX_PROCESS_ID" in env else None),
         )
-    except RuntimeError:
-        # already initialized (idempotent path)
-        pass
+    except RuntimeError as exc:
+        # idempotent path: only the already-initialized error is benign;
+        # genuine bring-up failures must surface, not silently degrade to
+        # single-process
+        if "already initialized" not in str(exc).lower():
+            raise
     return jax.process_count() > 1
 
 
@@ -94,10 +116,22 @@ def make_global_mesh(k_axis: int | None = None) -> Mesh:
         ici = (1, n_local)
     else:
         # k within host, q split across hosts (and within host if q > hosts)
+        if n_local % k_axis != 0:
+            raise ValueError(
+                f"k_axis={k_axis} must divide local device count {n_local} "
+                f"(or be a multiple of it)")
         dcn = (n_hosts, 1)
         ici = (n_local // k_axis, k_axis)
-    arr = mesh_utils.create_hybrid_device_mesh(
-        ici, dcn, devices=jax.devices())
+    try:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            ici, dcn, devices=jax.devices())
+    except ValueError:
+        # backends without slice topology metadata (CPU multi-process, some
+        # emulators): build the same host-major layout explicitly — q spans
+        # hosts, k contiguous within a host — which is what the hybrid
+        # helper degenerates to for a 1D ICI ring
+        devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+        arr = np.array(devs).reshape(n // k_axis, k_axis)
     return Mesh(arr, ("q", "k"))
 
 

@@ -96,7 +96,7 @@ def shard_B(mesh: Mesh, B):
 
 
 def make_packed_fock_step(mesh: Mesh, A_pad: int, npq1: int, nbf: int,
-                          q_chunk: int, n_chunks: int):
+                          q_chunk: int, n_chunks: int, dtype=jnp.float64):
     """Jitted sharded G = J - K/2 on *packed* screened-pq B
     (the multi-device analog of models/df_screened.py; replaces the
     reference's GPUDF.jl per-device W/J/K with one shard_map).
@@ -110,13 +110,17 @@ def make_packed_fock_step(mesh: Mesh, A_pad: int, npq1: int, nbf: int,
     Signature: fock(B, d_packed [npq+1], Cs [nbf,k], s [k], col_map, pq_flat)
     with D = 2 sum_k s_k c_k c_k^T (s = +1 for ordinary occupied orbitals;
     ±1 for indefinite fdiff densities).
+
+    dtype=float32 gives the mixed-precision early-SCF phase (same f32/f64
+    ladder as the single-chip df_screened path): contractions run on the
+    native-f32 MXU path against a B32 shard; G returns as f64 either way.
     """
     axes = ("q", "k")
 
     def local_fock(B_blk, d, Cs, s, col_map, pq_flat):
         Br = B_blk.reshape(n_chunks, q_chunk, npq1)
-        Khalf0 = jnp.zeros((nbf, nbf))
-        Jp0 = jnp.zeros(npq1)
+        Khalf0 = jnp.zeros((nbf, nbf), dtype=dtype)
+        Jp0 = jnp.zeros(npq1, dtype=dtype)
 
         def body(carry, Bc):
             Khalf, Jp = carry
@@ -130,9 +134,9 @@ def make_packed_fock_step(mesh: Mesh, A_pad: int, npq1: int, nbf: int,
 
         (Khalf, Jp), _ = jax.lax.scan(body, (Khalf0, Jp0), Br)
         Khalf = jax.lax.psum(Khalf, axes)
-        Jp = jax.lax.psum(Jp, axes)
+        Jp = jax.lax.psum(Jp, axes).astype(jnp.float64)
         J = jnp.zeros(nbf * nbf).at[pq_flat].set(Jp[:-1]).reshape(nbf, nbf)
-        return J - Khalf
+        return J - Khalf.astype(jnp.float64)
 
     fock = shard_map(
         local_fock,

@@ -37,6 +37,8 @@ class JCTC:
     diis_time = "diis_time"
     eigensolve_time = "eigensolve_time"
     guess_time = "guess_time"
+    device_memory_bytes = "device_memory_bytes"
+    scf_data_bytes = "scf_data_bytes"
     scf_energy = "scf_energy"
     converged = "converged"
     n_basis_functions = "n_basis_functions"
