@@ -393,6 +393,10 @@ class ScreenedDirectFock(FockBuilder):
         g.I_stack = jnp.stack(parts)
 
     def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
+        import os
+        import time as _time
+
+        debug = os.environ.get("JCHEM_FOCK_DEBUG") and iteration <= 1
         nbf, nbf_pad = self.nbf, self.nbf_pad
         P2 = nbf_pad * nbf_pad
         D = jnp.asarray(D)
@@ -402,6 +406,8 @@ class ScreenedDirectFock(FockBuilder):
         from .segsum import reduce_into
 
         for g in self.groups:
+            if debug:
+                _t0 = _time.time()
             if self.incore:
                 if g.I_stack is None:
                     self._fill_incore(g)
@@ -413,6 +419,10 @@ class ScreenedDirectFock(FockBuilder):
                 vals = _fused_digest_direct(*g.key, g.m_pad)(
                     D, g.w, g.idxs, g.xs_prim)
             JK = reduce_into(g.plan, JK, vals)
+            if debug:
+                JK.block_until_ready()
+                print(f"# fock group {g.key} m_pad={g.m_pad} nc={g.n_chunks}"
+                      f" {_time.time() - _t0:.2f}s", flush=True)
         JK = np.asarray(JK)
         J = JK[:P2].reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
         K = JK[P2:].reshape(nbf_pad, nbf_pad)[:nbf, :nbf]

@@ -109,6 +109,18 @@ def hermite_expansion(la: int, lb: int, prim, fold_coefs: bool = True) -> jnp.nd
     """
     tab = pair_tables(la, lb)
     E = e_dense(la, lb, prim)
+    if not isinstance(E, np.ndarray):
+        # Materialize the E table before the component gather/fold.  Without
+        # this barrier XLA:TPU fuses the E recurrences into the gathered
+        # products and the emulated-f64 codegen of that fused graph loses
+        # ~2e-8 relative accuracy on (p,d)-pair classes (measured on v5e;
+        # every other class and every stage in isolation is exact to 1e-13).
+        # The barrier forces the same compilation split as the staged
+        # programs, which are bit-accurate, and costs only one HBM round
+        # trip of E.
+        import jax
+
+        E = jax.lax.optimization_barrier(E)
     Ex, Ey, Ez = E[:, :, 0], E[:, :, 1], E[:, :, 2]
 
     ixa = tab["ix_a"][:, :, None]
