@@ -66,10 +66,18 @@ def main():
     )
     total = time.time() - t0
     timings = res["Timings"].timings
-    fock_times = [v for k, v in timings.items() if k.startswith(JCTC.fock_time + "-")]
-    # drop iteration 1 (compile + B build amortization)
-    steady = fock_times[1:] if len(fock_times) > 2 else fock_times
-    fock_per_iter = float(np.mean(steady))
+    pref = JCTC.fock_time + "-"
+    iters = sorted(int(k[len(pref):]) for k in timings if k.startswith(pref))
+    fock_times = {i: timings[f"{pref}{i}"] for i in iters}
+    f32_iters = {i for i in iters if f"fock_f32-{i}" in timings}
+    # drop iteration 1 (compile + B build amortization); report the f64
+    # steady state as the headline (the mixed-precision f32 warm-up phase is
+    # faster and would flatter a blended mean)
+    steady = [i for i in iters[1:]] if len(iters) > 2 else iters
+    f64_steady = [fock_times[i] for i in steady if i not in f32_iters]
+    f32_phase = [fock_times[i] for i in steady if i in f32_iters]
+    fock_per_iter = float(np.mean(f64_steady if f64_steady
+                                  else list(fock_times.values())))
 
     if NW == 64:
         # the direct same-system headline: reference w7.6 total benchmark
@@ -88,6 +96,9 @@ def main():
             "value": round(fock_per_iter, 4),
             "unit": "s",
             "vs_baseline": round(ref_scaled / fock_per_iter, 3),
+            "f64_steady_iters": len(f64_steady),
+            "f32_phase_s_per_iter": (round(float(np.mean(f32_phase)), 4)
+                                     if f32_phase else None),
         }
     print(
         f"# E={res['Energy']:.8f} converged={res['Converged?']} "

@@ -119,6 +119,10 @@ def scf_loop(
                            or it > niter // 2):
             fp32_phase = False
         precision = "f32" if fp32_phase else "f64"
+        if fp32_phase:
+            # marker so consumers (bench.py) can split per-iteration Fock
+            # times by precision phase instead of reporting a blended mean
+            timings.record("fock_f32", 1.0, it)
         with timings.timed(JCTC.fock_time, it):
             if opts.fdiff and G_cumul is not None:
                 # incremental Fock: build with dD, accumulate (SCF.jl:421-431)

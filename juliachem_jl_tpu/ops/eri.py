@@ -30,11 +30,14 @@ from .pairs import PairBlock
 TWO_PI_POW_2_5 = 2.0 * np.pi**2.5
 
 
-def bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B):
+def bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B, barrier=False):
     """Hermite expansion of a pair batch: returns (Eab[N,K2,nab,nh], p[N,K2],
-    P[N,K2,3]) with contraction coefficients and axial factors folded in."""
+    P[N,K2,3]) with contraction coefficients and axial factors folded in.
+
+    barrier=True (4-center conventional path only) staves off an XLA:TPU
+    emulated-f64 fusion accuracy loss; see hermite_expansion."""
     prim = pair_primitive_data(aexp, bexp, acoef, bcoef, A, B)
-    Eab = hermite_expansion(la, lb, prim)
+    Eab = hermite_expansion(la, lb, prim, barrier=barrier)
     return Eab, prim["p"], prim["P"]
 
 
@@ -53,8 +56,10 @@ def _eri_kernel_body(la, lb, lc, ld, Ka, Kb, Kc, Kd):
 
     def f(aexp, bexp, acoef, bcoef, A, B, cexp, dexp, ccoef, dcoef, C, D):
         xp = np if isinstance(aexp, np.ndarray) else jnp
-        Eab, p, P = bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B)
-        Ecd, q, Q = bra_hermite(lc, ld, cexp, dexp, ccoef, dcoef, C, D)
+        Eab, p, P = bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B,
+                                barrier=True)
+        Ecd, q, Q = bra_hermite(lc, ld, cexp, dexp, ccoef, dcoef, C, D,
+                                barrier=True)
 
         PQ = P[:, :, None, :] - Q[:, None, :, :]          # [N,K2b,K2k,3]
         psum = p[:, :, None] + q[:, None, :]

@@ -100,16 +100,22 @@ def e_dense(la: int, lb: int, prim) -> jnp.ndarray:
     return xp.stack(rows, axis=-3)                    # [N,K2,3,la+1,lb+1,L+1]
 
 
-def hermite_expansion(la: int, lb: int, prim, fold_coefs: bool = True) -> jnp.ndarray:
+def hermite_expansion(la: int, lb: int, prim, fold_coefs: bool = True,
+                      barrier: bool = False) -> jnp.ndarray:
     """Bra/ket Hermite expansion matrix Eab[N, K2, nca*ncb, nherm(la+lb)].
 
     Axial normalization factors and (optionally) the primitive-pair
     contraction coefficients are folded in, so downstream contraction is a
     pure matmul over the Hermite axis.
+
+    barrier=True is required by the conventional 4-center path, which needs
+    ~1e-13 relative ERI accuracy (see below); the 3-center DF path leaves it
+    off — its end-to-end tolerance is 1.5e-3 Eh vs conventional, and the
+    barrier costs ~3x in the w16 3-center build (157 s -> 459 s measured).
     """
     tab = pair_tables(la, lb)
     E = e_dense(la, lb, prim)
-    if not isinstance(E, np.ndarray):
+    if barrier and not isinstance(E, np.ndarray):
         # Materialize the E table before the component gather/fold.  Without
         # this barrier XLA:TPU fuses the E recurrences into the gathered
         # products and the emulated-f64 codegen of that fused graph loses
