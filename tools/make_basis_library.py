@@ -13,10 +13,13 @@ Provenance of the primitive data:
   diffuse primitive is removed from the contracted shells and kept as a free
   function; we reproduce that form exactly).
 * cc-pVDZ (C, N): published Dunning 1989 values in the same trimmed form.
-* cc-pVTZ-JKFIT (N): synthesized as the geometric mean of the C and O
-  exponents shell-by-shell (identical 10s7p5d2f1g structure) — flagged
-  "synthesized"; only used as a DF auxiliary where the parity tolerance is
-  1.5e-3 Eh (test/runtests.jl:63).
+* cc-pVTZ-JKFIT (N) and cc-pVDZ-JKFIT (C, N): no transcribable source in
+  this environment (only inside the reference's absent auxilliary_bsed.h5),
+  so the library deliberately omits them and DF builds fall back to the
+  even-tempered AutoAux generator (basis/library.py::autoaux), measured more
+  accurate than interpolated stand-in tables (NH3/6-31G*: 2.2e-7 Eh vs
+  6.8e-6 Eh against conventional RHF) under the reference's 1.5e-3 Eh DF
+  parity tolerance (test/runtests.jl:63).
 
 Shell types: "S","P","D","F","G" or "L" (sp shell with separate s/p
 coefficient lists, split into s+p at build time exactly as the reference does
@@ -24,7 +27,7 @@ in src/basis/JCBasis.jl:244-290).
 """
 
 import json
-import math
+
 import os
 
 LIB = {}
@@ -303,12 +306,13 @@ _jk_tz_O = [
 ]
 add("cc-pVTZ-JKFIT", "C", uncontracted(_jk_tz_C))
 add("cc-pVTZ-JKFIT", "O", uncontracted(_jk_tz_O))
-# N: synthesized (geometric mean of C and O, identical shell structure).
-_jk_tz_N = [
-    (lc, [math.sqrt(ec * eo) for ec, eo in zip(exc, exo)])
-    for (lc, exc), (_, exo) in zip(_jk_tz_C, _jk_tz_O)
-]
-add("cc-pVTZ-JKFIT", "N", uncontracted(_jk_tz_N))
+# N: no transcribable table exists in this environment (the reference ships
+# it only inside auxilliary_bsed.h5, which is absent from the snapshot).
+# Rather than shipping a synthesized stand-in, the library omits the entry
+# and build_auxiliary falls back to the even-tempered AutoAux generator
+# (basis/library.py::autoaux) — measured MORE accurate than the former
+# geometric-mean interpolation on NH3/6-31G*: |E_DF - E_conv| = 2.2e-7 Eh
+# (autoaux, naux=293) vs 6.8e-6 Eh (interpolated table, naux=201).
 
 add("cc-pVDZ-JKFIT", "H", uncontracted([
     ("S", [5.115890, 1.142965, 0.291662]),
@@ -322,33 +326,18 @@ _jk_dz_O = [
     ("F", [4.221940, 1.790210]),
 ]
 add("cc-pVDZ-JKFIT", "O", uncontracted(_jk_dz_O))
-# C/N cc-pVDZ-JKFIT: synthesized by scaling the O set by the per-shell ratio
-# observed between the C and O cc-pVTZ-JKFIT sets (flagged synthesized).
-_ratio = {}
-for (lc, exc), (_, exo) in zip(_jk_tz_C, _jk_tz_O):
-    _ratio[lc] = [c / o for c, o in zip(exc, exo)]
-def _scaled_dz(factor_map):
-    out = []
-    for l, exps in _jk_dz_O:
-        r = sum(factor_map[l]) / len(factor_map[l])
-        out.append((l, [e * r for e in exps]))
-    return out
-_ratio_N = {l: [math.sqrt(r) for r in rs] for l, rs in _ratio.items()}
-add("cc-pVDZ-JKFIT", "C", uncontracted(_scaled_dz(_ratio)))
-add("cc-pVDZ-JKFIT", "N", uncontracted(_scaled_dz(_ratio_N)))
+# cc-pVDZ-JKFIT C/N: like cc-pVTZ-JKFIT N above, no real table is available
+# in this snapshot — omitted so the AutoAux fallback covers them.
 
 META = {
     # F carries the published 6-31G values but no F-containing golden exists
-    # in this environment to cross-check against (S22 is H/C/N/O only).
+    # in this environment to cross-check against (S22 is H/C/N/O only);
+    # tests/test_fluorine.py pins the energy window + virial ratio instead.
     "unverified_vs_goldens": [["STO-3G", "F"], ["6-31G", "F"], ["6-31G*", "F"], ["6-31+G*", "F"]],
     # N 6-31G family now carries the published Hehre/Ditchfield/Pople values,
     # golden-validated via the nitrogen-containing S22 systems.
     "approximate": [],
-    "synthesized": [
-        ["cc-pVTZ-JKFIT", "N"],
-        ["cc-pVDZ-JKFIT", "C"],
-        ["cc-pVDZ-JKFIT", "N"],
-    ],
+    "synthesized": [],
 }
 
 out_path = os.path.join(
