@@ -1,14 +1,16 @@
 """RHF nuclear gradients.
 
-Parity note: the reference scaffolds gradients but explicitly disables them
-("does not yet support RHF gradients", src/rhf/gradient/Gradient.jl:31-32),
-while fully implementing the one-electron helper assembly (GradHelpers.jl:
-65-467).  We ship the same surface: the nuclear-repulsion gradient and the
-complete one-electron gradient assembly (core-Hamiltonian + Pulay overlap
-forces from the derivative S/T/V matrices in ops/oei_grad.py) both work;
-run() raises for the still-missing two-electron (ERI-derivative) term exactly
-as the reference does.
-"""
+Parity note: this EXCEEDS the reference, which scaffolds gradients but
+explicitly disables them ("does not yet support RHF gradients",
+src/rhf/gradient/Gradient.jl:31-32) while implementing only the one-electron
+helper assembly (GradHelpers.jl:65-467).  Here the full analytic RHF nuclear
+gradient works end-to-end:
+
+    dE/dR = dE_nuc + sum D (dT + dV) - sum W dS + dE_2e
+
+with the two-electron term from the class-batched ERI derivative kernels
+(ops/eri_grad.py), validated against finite differences of the converged SCF
+energy (tests/test_gradients.py)."""
 
 from __future__ import annotations
 
@@ -45,11 +47,32 @@ def one_electron_gradient(mol, basis, D: np.ndarray, W: np.ndarray) -> np.ndarra
     return grad
 
 
-def run(mol, basis_sets, scf_flags=None, output: int = 0):
-    """API parity with JCRHF.Gradient.run (Gradient.jl:31-32)."""
-    raise NotImplementedError(
-        "juliachem_jl_tpu does not yet support full RHF gradients: the "
-        "two-electron (ERI-derivative) term is not implemented (parity with "
-        "reference Gradient.jl:31-32).  Available pieces: "
-        "nuclear_repulsion_gradient() and one_electron_gradient()."
-    )
+def total_gradient(mol, basis, D: np.ndarray, W: np.ndarray) -> np.ndarray:
+    """Full analytic RHF gradient [natom, 3] from a converged density."""
+    from ..ops.eri_grad import two_electron_gradient
+
+    return (nuclear_repulsion_gradient(mol)
+            + one_electron_gradient(mol, basis, D, W)
+            + two_electron_gradient(basis, mol, D))
+
+
+def run(mol, basis_sets, scf_flags=None, output: int = 0) -> dict:
+    """API shape of JCRHF.Gradient.run (Gradient.jl:19-29) — but actually
+    working: converges an SCF (conventional; gradients of the DF-fitted
+    energy would need the fitted-metric derivative terms) and returns the
+    analytic nuclear gradient."""
+    from . import rhf
+
+    flags = dict(scf_flags or {})
+    flags.pop("scf_type", None)  # gradient is exact for conventional ERIs
+    res = rhf.energy(mol, basis_sets, flags, output=output)
+    if not res.get("Converged?"):
+        raise RuntimeError("gradient requested on an unconverged SCF")
+    grad = total_gradient(mol, basis_sets.primary, np.asarray(res["Density"]),
+                          np.asarray(res["W"]))
+    if output >= 2:
+        print("RHF nuclear gradient (Eh/bohr):")
+        for k in range(mol.natom):
+            print(f"  {mol.symbols[k]:2s} {grad[k, 0]: .10f} "
+                  f"{grad[k, 1]: .10f} {grad[k, 2]: .10f}")
+    return {**res, "Gradient": grad}

@@ -61,3 +61,83 @@ def test_stv_gradients_vs_finite_differences(system):
                 fd = M / (2 * h)
                 err = np.abs(fd - dM[k, d]).max()
                 assert err < 1e-7, f"d{name}/d(atom{k},{'xyz'[d]}): err {err}"
+
+
+# ---------------------------------------------------------------------------
+# Two-electron (4-center ERI) derivatives — EXCEEDS the reference, which
+# disables gradients outright (Gradient.jl:31-32).
+# ---------------------------------------------------------------------------
+
+def test_eri_gradient_translational_invariance(system):
+    from juliachem_jl_tpu.ops.eri_grad import two_electron_gradient
+
+    mol, b = system
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((b.nbf, b.nbf))
+    D = X + X.T
+    g = two_electron_gradient(b, mol, D)
+    assert np.abs(g.sum(axis=0)).max() < 1e-9
+
+
+def test_eri_gradient_vs_finite_differences():
+    """d E_2e[D fixed] / dR against central differences of the contracted
+    full ERI tensor (STO-3G water: S and P classes in play).  NOTE:
+    displacements act on Molecule.coords directly — from_input_dict recenters
+    to the center of mass, which would halve an input-frame step."""
+    from juliachem_jl_tpu.ops.eri import full_eri_tensor
+    from juliachem_jl_tpu.ops.eri_grad import two_electron_gradient
+
+    mol = molecule.from_input_dict(WATER)
+    b = basis_mod.build(mol, "STO-3G")
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((b.nbf, b.nbf))
+    D = X + X.T
+
+    def e2(coords):
+        m = _mol_at(coords)
+        bb = basis_mod.build(m, "STO-3G")
+        eri = full_eri_tensor(bb)
+        J = np.einsum("mnls,ls->mn", eri, D)
+        K = np.einsum("mlns,ls->mn", eri, D)
+        return 0.5 * np.sum(D * J) - 0.25 * np.sum(D * K)
+
+    g = two_electron_gradient(b, mol, D, cutoff=0.0)
+    h = 1e-5
+    for k in (0, 1):          # O and one H; invariance covers the third atom
+        for d in range(3):
+            cp = mol.coords.copy(); cp[k, d] += h
+            cm = mol.coords.copy(); cm[k, d] -= h
+            fd = (e2(cp) - e2(cm)) / (2 * h)
+            assert abs(g[k, d] - fd) < 1e-7, (k, d, g[k, d], fd)
+
+
+def test_total_rhf_gradient_vs_finite_differences():
+    """Full analytic RHF gradient vs central differences of the CONVERGED
+    SCF energy (water/STO-3G, tight convergence)."""
+    from juliachem_jl_tpu.models import rhf
+    from juliachem_jl_tpu.models.gradient import total_gradient
+
+    flags = {"niter": 60, "dele": 1e-11, "rmsd": 1e-9, "guess": "hcore"}
+
+    def scf_energy(m):
+        bb = basis_mod.build(m, "STO-3G")
+        from juliachem_jl_tpu.basis import CalculationBasisSets
+        res = rhf.energy(m, CalculationBasisSets(bb, None), flags)
+        assert res["Converged?"]
+        return res
+
+    mol = molecule.from_input_dict(WATER)
+    res = scf_energy(mol)
+    b = basis_mod.build(mol, "STO-3G")
+    g = total_gradient(mol, b, np.asarray(res["Density"]),
+                       np.asarray(res["W"]))
+    # translational invariance of the full gradient
+    assert np.abs(g.sum(axis=0)).max() < 1e-8
+
+    h = 2e-4
+    for (k, d) in ((0, 2), (1, 1)):   # spot-check two stiff components
+        cp = mol.coords.copy(); cp[k, d] += h
+        cm = mol.coords.copy(); cm[k, d] -= h
+        fd = (scf_energy(_mol_at(cp))["Energy"]
+              - scf_energy(_mol_at(cm))["Energy"]) / (2 * h)
+        assert abs(g[k, d] - fd) < 5e-6, (k, d, g[k, d], fd)
