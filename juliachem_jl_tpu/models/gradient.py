@@ -47,29 +47,38 @@ def one_electron_gradient(mol, basis, D: np.ndarray, W: np.ndarray) -> np.ndarra
     return grad
 
 
-def total_gradient(mol, basis, D: np.ndarray, W: np.ndarray) -> np.ndarray:
-    """Full analytic RHF gradient [natom, 3] from a converged density."""
-    from ..ops.eri_grad import two_electron_gradient
+def total_gradient(mol, basis, D: np.ndarray, W: np.ndarray,
+                   aux=None) -> np.ndarray:
+    """Full analytic RHF gradient [natom, 3] from a converged density.
 
+    aux=None differentiates the exact (conventional) two-electron energy;
+    with an auxiliary basis the RI-fitted energy is differentiated instead
+    (including the 3-center and metric derivative terms), consistent with a
+    density-fitted SCF's own functional."""
+    from ..ops.eri_grad import df_two_electron_gradient, two_electron_gradient
+
+    g2 = (two_electron_gradient(basis, mol, D) if aux is None
+          else df_two_electron_gradient(basis, aux, mol, D))
     return (nuclear_repulsion_gradient(mol)
             + one_electron_gradient(mol, basis, D, W)
-            + two_electron_gradient(basis, mol, D))
+            + g2)
 
 
 def run(mol, basis_sets, scf_flags=None, output: int = 0) -> dict:
     """API shape of JCRHF.Gradient.run (Gradient.jl:19-29) — but actually
-    working: converges an SCF (conventional; gradients of the DF-fitted
-    energy would need the fitted-metric derivative terms) and returns the
-    analytic nuclear gradient."""
+    working: converges the SCF and returns the analytic nuclear gradient of
+    the same energy functional (conventional, or RI-fitted when
+    scf_type=df)."""
     from . import rhf
 
     flags = dict(scf_flags or {})
-    flags.pop("scf_type", None)  # gradient is exact for conventional ERIs
+    use_df = str(flags.get("scf_type", "rhf")).lower() == "df"
     res = rhf.energy(mol, basis_sets, flags, output=output)
     if not res.get("Converged?"):
         raise RuntimeError("gradient requested on an unconverged SCF")
     grad = total_gradient(mol, basis_sets.primary, np.asarray(res["Density"]),
-                          np.asarray(res["W"]))
+                          np.asarray(res["W"]),
+                          aux=basis_sets.auxiliary if use_df else None)
     if output >= 2:
         print("RHF nuclear gradient (Eh/bohr):")
         for k in range(mol.natom):

@@ -192,3 +192,141 @@ def two_electron_gradient(basis: Basis, mol, D: np.ndarray,
                 np.add.at(grad, atom_of[ket.ish[ik]], fC)
                 np.add.at(grad, atom_of[ket.jsh[ik]], fD)
     return grad
+
+
+# ---------------------------------------------------------------------------
+# Density-fitted (RI) two-electron gradient
+# ---------------------------------------------------------------------------
+
+def _dense_three_center(primary: Basis, aux: Basis) -> np.ndarray:
+    """(A|pq) host-side dense 3-center tensor [naux, nbf, nbf] (gradient-scale
+    systems; the production B build uses the fused device path in eri3c)."""
+    from .eri import eri_block
+    from .eri3c import aux_unit_blocks
+
+    out = np.zeros((aux.nbf, primary.nbf, primary.nbf))
+    for ab in aux_unit_blocks(aux):
+        nca = ncart(ab.la)
+        for pb in unique_pair_blocks(primary):
+            ncp, ncq = pb.nbf_block
+            ii, jj = np.meshgrid(np.arange(ab.n), np.arange(pb.n),
+                                 indexing="ij")
+            sel_a, sel_p = ii.ravel(), jj.ravel()
+            # (A|pq): bra = (aux, unit), ket = primary pair
+            vals = eri_block(ab, pb, sel_a, sel_p).reshape(
+                len(sel_a), nca, ncp, ncq)
+            ia = (ab.off_a[sel_a][:, None, None, None]
+                  + np.arange(nca)[None, :, None, None])
+            ip = (pb.off_a[sel_p][:, None, None, None]
+                  + np.arange(ncp)[None, None, :, None])
+            iq = (pb.off_b[sel_p][:, None, None, None]
+                  + np.arange(ncq)[None, None, None, :])
+            ia, ip, iq = np.broadcast_arrays(ia, ip, iq)
+            out[ia, ip, iq] = vals
+            tr = (0, 1, 3, 2)
+            out[ia.transpose(tr), iq.transpose(tr), ip.transpose(tr)] = (
+                vals.transpose(tr))
+    return out
+
+
+def df_two_electron_gradient(primary: Basis, aux: Basis, mol,
+                             D: np.ndarray) -> np.ndarray:
+    """dE_2e/dR [natom, 3] of the RI-fitted two-electron energy
+
+        E_2e = sum_pqrs Gamma_pqrs (pq|A) M^-1_AB (B|rs),
+        Gamma = 1/2 D_pq D_rs - 1/4 D_pr D_qs
+
+    =  2 sum_{A,pq} gamma_{A,pq} d(A|pq)  -  sum_{AB} Omega_AB dM_AB
+
+    with gamma = M^-1 U,  U_A = 1/2 (P3_A . D) D - 1/4 D P3_A D (symmetric
+    in pq),  W = M^-1 P3,  Omega = sym(W gamma^T) (from the metric-inverse
+    derivative dM^-1 = -M^-1 dM M^-1).  The factor 2 on the 3-center term
+    uses Gamma's (pq)<->(rs) symmetry.
+
+    Derivative blocks come from the same 4-center kernels with the unit
+    ket-partner trick eri3c uses for the undifferentiated tensors: the unit
+    shell has exponent 0, so its center derivative vanishes identically
+    (2b*(j+1 image) - j*(j-1 image) = 0) and the aux-center derivative is
+    just the kernel's bra-A derivative."""
+    from .eri3c import aux_unit_blocks, two_center_metric
+
+    natom = mol.natom
+    nbf, naux = primary.nbf, aux.nbf
+    atom_of_p = primary.shell_atom
+    atom_of_a = aux.shell_atom
+
+    P3 = _dense_three_center(primary, aux)
+    M = two_center_metric(aux)
+    P3f = P3.reshape(naux, -1)
+
+    v = P3f @ D.reshape(-1)                                  # [naux]
+    U = (0.5 * v[:, None, None] * D[None]
+         - 0.25 * np.einsum("pr,ars,sq->apq", D, P3, D))
+    gamma = np.linalg.solve(M, U.reshape(naux, -1))          # [naux, nbf^2]
+    W = np.linalg.solve(M, P3f)
+    Omega = W @ gamma.T
+    Omega = 0.5 * (Omega + Omega.T)
+    gamma = gamma.reshape(naux, nbf, nbf)
+
+    grad = np.zeros((natom, 3))
+
+    # ---- 3-center term: 2 sum_{A,pq} gamma d(A|pq) -----------------------
+    for ab in aux_unit_blocks(aux):
+        nca = ncart(ab.la)
+        for pb in unique_pair_blocks(primary):
+            ncp, ncq = pb.nbf_block
+            kern = _eri_grad_kernel(ab.la, 0, pb.la, pb.lb)
+            w_pq = np.where(pb.ish != pb.jsh, 2.0, 1.0)
+            ii, jj = np.meshgrid(np.arange(ab.n), np.arange(pb.n),
+                                 indexing="ij")
+            sel_a, sel_p = ii.ravel(), jj.ravel()
+            for s in range(0, len(sel_a), _CHUNK):
+                ia_, ip_ = sel_a[s:s + _CHUNK], sel_p[s:s + _CHUNK]
+                dA, _dB, dC = kern(
+                    ab.aexp[ia_], ab.bexp[ia_], ab.acoef[ia_], ab.bcoef[ia_],
+                    ab.A[ia_], ab.B[ia_],
+                    pb.aexp[ip_], pb.bexp[ip_], pb.acoef[ip_], pb.bcoef[ip_],
+                    pb.A[ip_], pb.B[ip_],
+                )
+                n = len(ia_)
+                oa = ab.off_a[ia_][:, None] + np.arange(nca)[None, :]
+                op = pb.off_a[ip_][:, None] + np.arange(ncp)[None, :]
+                oq = pb.off_b[ip_][:, None] + np.arange(ncq)[None, :]
+                g = gamma[oa[:, :, None, None], op[:, None, :, None],
+                          oq[:, None, None, :]].reshape(n, nca, ncp * ncq)
+                w = (2.0 * w_pq[ip_])[:, None]
+                fA = w * np.einsum("nac,ndac->nd", g, dA)    # aux center
+                fC = w * np.einsum("nac,ndac->nd", g, dC)    # primary p-shell
+                # dD = -(dA + dB + dC), dB == 0 for the unit partner
+                fD = -(fA + fC)
+                np.add.at(grad, atom_of_a[ab.ish[ia_]], fA)
+                np.add.at(grad, atom_of_p[pb.ish[ip_]], fC)
+                np.add.at(grad, atom_of_p[pb.jsh[ip_]], fD)
+
+    # ---- 2-center (metric) term: - sum Omega_AB dM_AB --------------------
+    aux_blocks = aux_unit_blocks(aux)
+    for abi in aux_blocks:
+        ncp_ = ncart(abi.la)
+        for abj in aux_blocks:
+            ncq_ = ncart(abj.la)
+            kern = _eri_grad_kernel(abi.la, 0, abj.la, 0)
+            ii, jj = np.meshgrid(np.arange(abi.n), np.arange(abj.n),
+                                 indexing="ij")
+            sel_i, sel_j = ii.ravel(), jj.ravel()
+            for s in range(0, len(sel_i), _CHUNK):
+                ia_, ib_ = sel_i[s:s + _CHUNK], sel_j[s:s + _CHUNK]
+                dA, _dB, dC = kern(
+                    abi.aexp[ia_], abi.bexp[ia_], abi.acoef[ia_],
+                    abi.bcoef[ia_], abi.A[ia_], abi.B[ia_],
+                    abj.aexp[ib_], abj.bexp[ib_], abj.acoef[ib_],
+                    abj.bcoef[ib_], abj.A[ib_], abj.B[ib_],
+                )
+                n = len(ia_)
+                op = abi.off_a[ia_][:, None] + np.arange(ncp_)[None, :]
+                oq = abj.off_a[ib_][:, None] + np.arange(ncq_)[None, :]
+                om = Omega[op[:, :, None], oq[:, None, :]]   # [n, ncp, ncq]
+                fA = -np.einsum("nac,ndac->nd", om, dA)
+                fC = -np.einsum("nac,ndac->nd", om, dC)
+                np.add.at(grad, atom_of_a[abi.ish[ia_]], fA)
+                np.add.at(grad, atom_of_a[abj.ish[ib_]], fC)
+    return grad

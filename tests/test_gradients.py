@@ -141,3 +141,80 @@ def test_total_rhf_gradient_vs_finite_differences():
         fd = (scf_energy(_mol_at(cp))["Energy"]
               - scf_energy(_mol_at(cm))["Energy"]) / (2 * h)
         assert abs(g[k, d] - fd) < 5e-6, (k, d, g[k, d], fd)
+
+
+def test_df_gradient_vs_finite_differences():
+    """RI-fitted two-electron gradient (3-center + metric derivative terms)
+    against central differences of the fitted E_2e at fixed density."""
+    import warnings
+
+    from juliachem_jl_tpu.ops.eri3c import two_center_metric
+    from juliachem_jl_tpu.ops.eri_grad import (_dense_three_center,
+                                               df_two_electron_gradient)
+
+    mol = molecule.from_input_dict(WATER)
+    prim = basis_mod.build(mol, "STO-3G")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        aux = basis_mod.build_auxiliary(mol, "cc-pVDZ-JKFIT", "STO-3G")
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((prim.nbf, prim.nbf))
+    D = X + X.T
+
+    def e2(coords):
+        m = _mol_at(coords)
+        p = basis_mod.build(m, "STO-3G")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            a = basis_mod.build_auxiliary(m, "cc-pVDZ-JKFIT", "STO-3G")
+        P3 = _dense_three_center(p, a)
+        M = two_center_metric(a)
+        P3f = P3.reshape(a.nbf, -1)
+        v = P3f @ D.reshape(-1)
+        U = (0.5 * v[:, None, None] * D[None]
+             - 0.25 * np.einsum("pr,ars,sq->apq", D, P3, D))
+        gam = np.linalg.solve(M, U.reshape(a.nbf, -1))
+        return float(np.sum(gam * P3f))
+
+    g = df_two_electron_gradient(prim, aux, mol, D)
+    assert np.abs(g.sum(axis=0)).max() < 1e-10   # translational invariance
+    h = 1e-5
+    for (k, d) in ((0, 2), (1, 1)):
+        cp = mol.coords.copy(); cp[k, d] += h
+        cm = mol.coords.copy(); cm[k, d] -= h
+        fd = (e2(cp) - e2(cm)) / (2 * h)
+        assert abs(g[k, d] - fd) < 1e-7, (k, d, g[k, d], fd)
+
+
+def test_df_total_gradient_vs_scf_finite_differences():
+    """gradient.run with scf_type=df: analytic gradient of the RI energy
+    functional vs central differences of the converged DF-SCF energy."""
+    import warnings
+
+    from juliachem_jl_tpu.basis import CalculationBasisSets
+    from juliachem_jl_tpu.models import rhf
+    from juliachem_jl_tpu.models.gradient import total_gradient
+
+    flags = {"scf_type": "df", "niter": 60, "dele": 1e-11, "rmsd": 1e-9,
+             "guess": "hcore"}
+
+    def scf(m):
+        p = basis_mod.build(m, "STO-3G")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            a = basis_mod.build_auxiliary(m, "cc-pVDZ-JKFIT", "STO-3G")
+        res = rhf.energy(m, CalculationBasisSets(p, a), flags)
+        assert res["Converged?"]
+        return res, p, a
+
+    mol = molecule.from_input_dict(WATER)
+    res, prim, aux = scf(mol)
+    g = total_gradient(mol, prim, np.asarray(res["Density"]),
+                       np.asarray(res["W"]), aux=aux)
+    assert np.abs(g.sum(axis=0)).max() < 1e-8
+    h = 2e-4
+    k, d = 0, 2
+    cp = mol.coords.copy(); cp[k, d] += h
+    cm = mol.coords.copy(); cm[k, d] -= h
+    fd = (scf(_mol_at(cp))[0]["Energy"] - scf(_mol_at(cm))[0]["Energy"]) / (2 * h)
+    assert abs(g[k, d] - fd) < 5e-6, (g[k, d], fd)
