@@ -11,6 +11,11 @@ Each system runs in a fresh interpreter (long-lived processes accumulate XLA
 compile state).  Writes S22_RESULTS.json at the repo root.
 
 Usage: python tools/run_s22_sweep.py [first_n] [--df-only|--conv-only]
+                                     [--order=size]
+
+--order=size runs systems smallest-first (by atom count): on a slow backend
+(CPU fallback during TPU outages) this maximizes the number of completed
+golden checks per wall-hour.
 """
 
 from __future__ import annotations
@@ -88,11 +93,14 @@ def run_one(code: str, timeout: int = 7200) -> dict:
 def main():
     n = 22
     modes = ["conv", "df"]
+    by_size = False
     for arg in sys.argv[1:]:
         if arg == "--df-only":
             modes = ["df"]
         elif arg == "--conv-only":
             modes = ["conv"]
+        elif arg == "--order=size":
+            by_size = True
         else:
             n = int(arg)
 
@@ -105,7 +113,17 @@ def main():
         with open(path) as f:
             results = json.load(f)
 
-    for imol in range(1, n + 1):
+    order = list(range(1, n + 1))
+    if by_size:
+        import re
+
+        def natoms(i):
+            with open(f"{REF}/example_inputs/S22/{i:02d}_MP2.json") as f:
+                text = re.sub(r",\s*([}\]])", r"\1", f.read())  # trailing commas
+            return len(json.loads(text)["molecule"]["symbols"])
+        order.sort(key=natoms)
+
+    for imol in order:
         g = golden[str(imol)]
         key = str(imol)
         results.setdefault(key, {})
