@@ -38,7 +38,44 @@ NW = int(sys.argv[1]) if len(sys.argv) > 1 and not W50 else 16
 REF_SECONDS_PER_ITER_W64 = 2316.0 / 33.0
 
 
+def _device_available(timeout_s: float = 240.0) -> bool:
+    """Probe the accelerator in a subprocess: the axon TPU relay, when its
+    far side is down, blocks jax.devices() in an infinite claim-retry loop
+    (no timeout surfaces in-process), which would hang the whole bench."""
+    import os
+    import subprocess
+    import sys as _sys
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True
+    try:
+        proc = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax, jax.numpy as jnp; x = jnp.ones((64, 64)); "
+             "(x @ x).block_until_ready()"],
+            timeout=timeout_s, capture_output=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    import os
+
+    if not _device_available():
+        # fall back to a reduced CPU run so the round still records a
+        # benchmark line instead of hanging on the dead relay
+        print("# TPU unreachable (relay probe timed out); rerunning reduced "
+              "bench on CPU", file=sys.stderr)
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith("PALLAS_AXON")}
+        env["JAX_PLATFORMS"] = "cpu"
+        nw = "4" if (W50 or NW > 4) else str(NW)
+        import subprocess
+
+        raise SystemExit(subprocess.run(
+            [sys.executable, os.path.abspath(__file__), nw], env=env).returncode)
+
     import jax
 
     from juliachem_jl_tpu import basis, molecule, io
@@ -131,6 +168,7 @@ def main():
             "f32_phase_s_per_iter": (round(float(np.mean(f32_phase)), 4)
                                      if f32_phase else None),
         }
+    out["platform"] = jax.devices()[0].platform
     print(
         f"# E={res['Energy']:.8f} converged={res['Converged?']} "
         f"iters={res['Iterations']} total={total:.1f}s fock/iter={fock_per_iter:.3f}s",
