@@ -11,6 +11,7 @@ from __future__ import annotations
 from . import basis as basis_mod
 from . import io as io_mod
 from . import molecule as molecule_mod
+from .models import gradient as gradient_mod
 from .models import properties as properties_mod
 from .models import rhf as rhf_mod
 
@@ -21,7 +22,10 @@ def run_spec(spec, output: int = 0) -> dict:
     scf_flags = dict(spec.scf_keywords)
     if spec.auxiliary_basis and "scf_type" not in scf_flags:
         scf_flags["scf_type"] = "df"
-    result = rhf_mod.energy(mol, bsets, scf_flags, output=output)
+    if spec.driver == "gradient":
+        result = gradient_mod.run(mol, bsets, scf_flags, output=output)
+    else:
+        result = rhf_mod.energy(mol, bsets, scf_flags, output=output)
     props = properties_mod.run(mol, bsets, result, spec.prop_keywords, output=output)
     return {
         "Input": spec,

@@ -2,7 +2,8 @@
 
 Parity with reference src/io/JCInput.jl:56-92: an input file holds four
 sections — ``molecule{geometry, symbols, molecular_charge}``, ``driver``
-(only "energy" supported), ``model{method, basis[, auxiliary_basis]}`` and
+("energy"; "gradient" is an extension beyond the reference), ``model{method,
+basis[, auxiliary_basis]}`` and
 ``keywords{scf, prop}``.  Reference inputs (example_inputs/*.json) parse
 unmodified, including the trailing-comma variants the Julia JSON parser
 accepts.
@@ -62,9 +63,11 @@ def parse_input(data: dict | str) -> InputSpec:
     if "geometry" not in molecule or "symbols" not in molecule:
         raise ValueError("molecule section must contain 'geometry' and 'symbols'")
     driver = data.get("driver", "energy")
-    if driver != "energy":
+    if driver not in ("energy", "gradient"):
+        # the reference supports only "energy" (JCInput.jl); "gradient" is
+        # our extension now that analytic RHF gradients work
         raise ValueError(
-            f"driver '{driver}' not supported (reference JCInput.jl supports only 'energy')"
+            f"driver '{driver}' not supported (have: energy, gradient)"
         )
     return InputSpec(
         molecule=molecule,

@@ -218,3 +218,29 @@ def test_df_total_gradient_vs_scf_finite_differences():
     cm = mol.coords.copy(); cm[k, d] -= h
     fd = (scf(_mol_at(cp))[0]["Energy"] - scf(_mol_at(cm))[0]["Energy"]) / (2 * h)
     assert abs(g[k, d] - fd) < 5e-6, (g[k, d], fd)
+
+
+def test_driver_gradient_end_to_end(tmp_path):
+    """driver="gradient" routes through the full input-file pipeline (our
+    extension; the reference's JCInput accepts only "energy")."""
+    import json
+
+    from juliachem_jl_tpu.driver import run_file
+
+    inp = {
+        "molecule": {"symbols": ["H", "H"],
+                     "geometry": [0.0, 0.0, 0.0, 0.0, 0.0, 0.74],
+                     "molecular_charge": 0},
+        "driver": "gradient",
+        "model": {"method": "RHF", "basis": "STO-3G"},
+        "keywords": {"scf": {"niter": 50, "dele": 1e-10, "rmsd": 1e-8,
+                             "guess": "hcore"}},
+    }
+    path = tmp_path / "h2_grad.json"
+    path.write_text(json.dumps(inp))
+    out = run_file(str(path))
+    g = out["Energy"]["Gradient"]
+    assert g.shape == (2, 3)
+    assert np.abs(g.sum(axis=0)).max() < 1e-10
+    # near re=0.74 A the H2/STO-3G PES slope is small but nonzero
+    assert 1e-4 < abs(g[1, 2]) < 0.1
