@@ -355,7 +355,21 @@ def _digest_incore(nca, ncb, ncc, ncd, m_pad):
     return jax.jit(run)
 
 
-INCORE_BUDGET_ELEMENTS = 400_000_000  # ~3.2 GB of f64 ERI blocks
+INCORE_BUDGET_ELEMENTS = 400_000_000  # ~3.2 GB of f64 ERI blocks (TPU HBM)
+
+
+def _incore_budget() -> int:
+    """In-core ERI budget in elements.  On the CPU backend "device" memory is
+    host RAM, so the cache can be far larger than the TPU HBM budget — this
+    is what makes the full S22 conventional sweep affordable on the CPU
+    fallback (one ERI evaluation instead of one per SCF iteration)."""
+    import os
+    env = os.environ.get("JCHEM_INCORE_BUDGET")
+    if env:
+        return int(float(env))
+    if jax.default_backend() == "cpu":
+        return 4_000_000_000  # 32 GB of f64 blocks (host RAM)
+    return INCORE_BUDGET_ELEMENTS
 
 
 class ScreenedDirectFock(FockBuilder):
@@ -382,12 +396,26 @@ class ScreenedDirectFock(FockBuilder):
             basis, cutoff, nbf_pad=self.nbf_pad)
         self.groups = [_build_group(b, self.nbf_pad) for b in self.batches]
         if incore is None:
-            incore = sum(g.vol for g in self.groups) <= INCORE_BUDGET_ELEMENTS
+            incore = sum(g.vol for g in self.groups) <= _incore_budget()
         self.incore = incore
 
     def _fill_incore(self, g: DigestGroup):
-        """Cache the ERI chunk stack for one group via the shared per-class
-        ERI kernel (no extra compiled program)."""
+        """Cache the ERI chunk stack for one group.
+
+        On the CPU backend the class kernel is evaluated with numpy on the
+        host (zero XLA compiles — each fresh process otherwise pays ~10-40 s
+        per class kernel on the 1-core CPU backend); elsewhere via the shared
+        jitted per-class ERI kernel (no extra compiled program)."""
+        if jax.default_backend() == "cpu":
+            eri_np = _eri_kernel_body(*g.key)
+            xs = [np.asarray(x) for x in g.xs_prim]
+            first = eri_np(*(x[0] for x in xs))
+            stack = np.empty((g.n_chunks,) + first.shape, dtype=first.dtype)
+            stack[0] = first
+            for c in range(1, g.n_chunks):
+                stack[c] = eri_np(*(x[c] for x in xs))
+            g.I_stack = jnp.asarray(stack)
+            return
         kern = _eri_kernel(*g.key)
         parts = [kern(*(x[c] for x in g.xs_prim)) for c in range(g.n_chunks)]
         g.I_stack = jnp.stack(parts)

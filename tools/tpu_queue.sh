@@ -11,6 +11,7 @@ echo "=== tpu_queue start $(date)" >> "$LOG"
 while true; do
   if timeout 120 python -c "import jax, jax.numpy as jnp; x=jnp.ones((128,128)); (x@x).block_until_ready()" >> "$LOG" 2>&1; then
     echo "TPU back $(date)" >> "$LOG"
+    touch /tmp/tpu_back
     break
   fi
   sleep 45
