@@ -141,6 +141,13 @@ def three_center_tensor(
     A, nbf = aux.nbf, primary.nbf
     if pair_blocks is None:
         pair_blocks = unique_pair_blocks(primary)
+    if jax.default_backend() == "cpu":
+        # zero-compile host path: on the 1-core CPU backend each fused
+        # 3-center kernel costs ~60-120 s of XLA compile per pair class and
+        # per fresh process; the numpy evaluation needs none and uses exact
+        # (unpadded) shapes
+        return _three_center_host(primary, aux, pair_blocks, col_map,
+                                  packed_width)
 
     packed = col_map is not None
     if packed:
@@ -266,6 +273,82 @@ def three_center_tensor(
         B3 = B3.at[:, -1].set(0.0)  # trash column (screened-out scatter target)
         return np.asarray(B3)
     return np.asarray(B3).reshape(A, nbf, nbf)
+
+
+def _three_center_host(primary: Basis, aux: Basis,
+                       pair_blocks: list[PairBlock],
+                       col_map: np.ndarray | None,
+                       packed_width: int | None) -> np.ndarray:
+    """Host-numpy (Q | mu nu) builder — same math as the fused device kernel
+    (bra Hermite reused across aux classes, MD R-tensor contraction), but
+    with exact shapes, no padding and no scatter conflicts: within one
+    fancy-index add every (aux row, target column) pair is unique, so plain
+    ``B3[r, c] += out`` is an exact reduction."""
+    A, nbf = aux.nbf, primary.nbf
+    packed = col_map is not None
+    if packed:
+        width = packed_width if packed_width is not None else int(col_map.max()) + 1
+    else:
+        width = nbf * nbf
+    B3 = np.zeros((A, width))
+    aux_blocks = aux_unit_blocks(aux)
+    BUDGET = 6.0e7  # R-tensor working-set elements per pair chunk
+
+    for pblk in pair_blocks:
+        if pblk.n == 0:
+            continue
+        ia, ib = _pair_bf_indices_flat(pblk)            # [n, nab] each
+        cols = (ia * nbf + ib).astype(np.int64)
+        cols_t = (ib * nbf + ia).astype(np.int64)
+        if packed:
+            cols = col_map[cols]
+            cols_t = col_map[cols_t]
+        mirror = pblk.ish != pblk.jsh                    # [n] bool
+        Lb = pblk.la + pblk.lb
+        Eab, p, P = bra_hermite(pblk.la, pblk.lb, pblk.aexp, pblk.bexp,
+                                pblk.acoef, pblk.bcoef, pblk.A, pblk.B)
+        k2b = p.shape[1]
+        for ablk in aux_blocks:
+            lq = ablk.la
+            ncq = ncart(lq)
+            L = Lb + lq
+            comb, sign = combine_tables(Lb, lq)
+            zq = np.zeros_like(ablk.aexp)
+            Ecd, q, Qcen = bra_hermite(lq, 0, ablk.aexp, zq, ablk.acoef,
+                                       np.ones_like(ablk.acoef),
+                                       ablk.A, ablk.A)
+            rows = ablk.off_a[:, None] + np.arange(ncq)[None, :]  # [Nq, ncq]
+            from .class_tables import nherm as _nherm
+            work = k2b * ablk.n * q.shape[1] * _nherm(L)
+            csize = max(8, int(BUDGET / max(work, 1)))
+            for s in range(0, pblk.n, csize):
+                e = min(s + csize, pblk.n)
+                PQ = P[s:e, :, None, None, :] - Qcen[None, None, :, :, :]
+                psum = p[s:e, :, None, None] + q[None, None, :, :]
+                alpha = p[s:e, :, None, None] * q[None, None, :, :] / psum
+                Targ = alpha * np.sum(PQ ** 2, axis=-1)
+                pref = TWO_PI_POW_2_5 / (
+                    p[s:e, :, None, None] * q[None, None, :, :]
+                    * np.sqrt(psum))
+                F = boys(Targ, L) * pref[..., None]
+                R = r_tensor(L, alpha, PQ, F)        # [Pc,K2b,Nq,Kq,nherm]
+                M = R[..., comb] * np.asarray(sign)[None, None, None, None, :]
+                T1 = np.einsum("pkqrhg,qrcg->pkhqc", M, Ecd)
+                out = np.einsum("pkah,pkhqc->paqc", Eab[s:e], T1)
+                # scatter [Pc,nab,Nq,ncq] -> B3[rows, cols]
+                r4 = np.broadcast_to(rows[None, None, :, :], out.shape)
+                c4 = np.broadcast_to(cols[s:e, :, None, None], out.shape)
+                B3[r4, c4] += out
+                m = mirror[s:e]
+                if m.any():
+                    outm = out[m]
+                    B3[np.broadcast_to(rows[None, None, :, :], outm.shape),
+                       np.broadcast_to(cols_t[s:e][m][:, :, None, None],
+                                       outm.shape)] += outm
+    if packed:
+        B3[:, -1] = 0.0  # trash column (screened-out scatter target)
+        return B3
+    return B3.reshape(A, nbf, nbf)
 
 
 def _is_compile_or_resource_error(exc: Exception) -> bool:
