@@ -22,8 +22,13 @@ def run_spec(spec, output: int = 0) -> dict:
     scf_flags = dict(spec.scf_keywords)
     if spec.auxiliary_basis and "scf_type" not in scf_flags:
         scf_flags["scf_type"] = "df"
+    method = str(spec.model.get("method", "RHF")).upper()
     if spec.driver == "gradient":
         result = gradient_mod.run(mol, bsets, scf_flags, output=output)
+    elif method == "UHF":
+        from .models import uhf as uhf_mod
+
+        result = uhf_mod.energy(mol, bsets, scf_flags, output=output)
     else:
         result = rhf_mod.energy(mol, bsets, scf_flags, output=output)
     props = properties_mod.run(mol, bsets, result, spec.prop_keywords, output=output)

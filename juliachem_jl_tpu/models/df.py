@@ -87,6 +87,24 @@ def df_fock_kernel(B, D, Cocc):
 
 
 @jax.jit
+def df_j_kernel(B, Dt):
+    """Coulomb from the total density (UHF shares one V_Q per iteration)."""
+    A, nbf = B.shape[0], B.shape[1]
+    Bm = B.reshape(A, nbf * nbf)
+    V = Bm @ Dt.reshape(-1)
+    return (V @ Bm).reshape(nbf, nbf)
+
+
+@jax.jit
+def df_k_kernel(B, C):
+    """Exchange K(C C^T) from occupied (or factor) orbitals [nbf, k]."""
+    nbf = B.shape[1]
+    W = jnp.einsum("qmn,mi->qin", B, C)
+    Wm = W.reshape(-1, nbf)
+    return Wm.T @ Wm
+
+
+@jax.jit
 def df_fock_kernel_signed(B, D, Cocc, s):
     """G = J - K/2 for a possibly *indefinite* D factorized as
     D = 2 sum_k s_k c_k c_k^T with s_k = ±1 (incremental-Fock dD is
@@ -158,6 +176,29 @@ class DFFockBuilder(FockBuilder):
         if precision == "f32" and self.B32 is not None:
             return np.asarray(df_fock_kernel_f32(self.B32, jnp.asarray(D), Cocc))
         return np.asarray(df_fock_kernel(self.B, jnp.asarray(D), Cocc))
+
+    def two_electron_jk(self, Da, Db, iteration, timings: Timings, Ca=None,
+                        Cb=None):
+        """UHF interface: J from one shared V_Q of the total density; K per
+        spin from W_sigma = B C_sigma (or a PSD eigen-factor of D_sigma on
+        guess iterations where no C is available)."""
+        J = df_j_kernel(self.B, jnp.asarray(Da + Db))
+
+        def K_of(Ds, Cs):
+            if Cs is None:
+                w, U = np.linalg.eigh(np.asarray(Ds))
+                keep = w > 1e-12
+                Cs = U[:, keep] * np.sqrt(w[keep])[None, :]
+                k = Cs.shape[1]
+                kp = -(-max(k, 1) // 32) * 32   # pad: stable kernel shapes
+                if kp != k:
+                    Cs = np.pad(Cs, ((0, 0), (0, kp - k)))
+            return df_k_kernel(self.B, jnp.asarray(Cs))
+
+        Ka = K_of(Da, Ca)
+        Kb = Ka if (Ca is None and Cb is None and np.array_equal(Da, Db)) \
+            else K_of(Db, Cb)
+        return np.asarray(J), np.asarray(Ka), np.asarray(Kb)
 
     def finalize(self):
         self.B = None

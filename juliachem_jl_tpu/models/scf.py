@@ -48,6 +48,15 @@ class FockBuilder:
                           C_occ=None):
         raise NotImplementedError
 
+    def two_electron_jk(self, Da, Db, iteration: int, timings: Timings,
+                        Ca=None, Cb=None):
+        """Spin-resolved contractions for UHF (models/uhf.py): given factor-1
+        spin densities, return (J(Da+Db), K(Da), K(Db))."""
+        raise NotImplementedError(
+            f"{type(self).__name__} does not implement the spin-resolved "
+            "J/K interface (UHF); use the dense, screened-direct or dense-DF "
+            "builder")
+
     def finalize(self):  # release per-geometry tensors
         pass
 

@@ -23,6 +23,7 @@ class Molecule:
     symbols: list[str]   # element symbols
     coords: np.ndarray   # (natom, 3) in Bohr, COM-shifted
     charge: int = 0
+    multiplicity: int = 1  # 2S+1 (used by the UHF driver; RHF requires 1)
 
     @property
     def natom(self) -> int:
@@ -60,7 +61,9 @@ def from_input_dict(molecule: dict) -> Molecule:
     com = (masses[:, None] * coords).sum(0) / masses.sum()
     coords = coords - com
     charge = int(molecule.get("molecular_charge", 0))
-    return Molecule(z=z, symbols=symbols, coords=coords, charge=charge)
+    mult = int(molecule.get("molecular_multiplicity", 1))
+    return Molecule(z=z, symbols=symbols, coords=coords, charge=charge,
+                    multiplicity=mult)
 
 
 def run(inp, output: int = 0) -> Molecule:

@@ -45,6 +45,13 @@ class DenseFock(FockBuilder):
         K = jnp.einsum("prqs,rs->pq", self.G, D)
         return np.asarray(J - 0.5 * K)
 
+    def two_electron_jk(self, Da, Db, iteration, timings, Ca=None, Cb=None):
+        Dt = jnp.asarray(Da + Db)
+        J = jnp.einsum("pqrs,rs->pq", self.G, Dt)
+        Ka = jnp.einsum("prqs,rs->pq", self.G, jnp.asarray(Da))
+        Kb = jnp.einsum("prqs,rs->pq", self.G, jnp.asarray(Db))
+        return np.asarray(J), np.asarray(Ka), np.asarray(Kb)
+
     def finalize(self):
         self.G = None
 
@@ -421,6 +428,32 @@ class ScreenedDirectFock(FockBuilder):
         g.I_stack = jnp.stack(parts)
 
     def two_electron_fock(self, D, iteration, timings: Timings, C_occ=None):
+        J, K = self.jk_halves(D, iteration, timings)
+        return np.asarray(J - 0.5 * K)
+
+    def two_electron_jk(self, Da, Db, iteration, timings: Timings,
+                        Ca=None, Cb=None):
+        """UHF interface: (J(Dt), K(Da), K(Db)) from TWO digestion passes.
+
+        The digestion computes J and K streams for one symmetric density;
+        both are linear in D, so the spin-resolved exchanges come from the
+        total and spin-difference densities:
+        K(Da) = [K(Dt) + K(Ds)]/2,  K(Db) = [K(Dt) - K(Ds)]/2."""
+        Dt = np.asarray(Da) + np.asarray(Db)
+        J, Kt = self.jk_halves(Dt, iteration, timings)
+        if np.array_equal(Da, Db):  # closed-shell channel: one pass suffices
+            Ka = Kb = 0.5 * Kt
+        else:
+            _, Ks = self.jk_halves(np.asarray(Da) - np.asarray(Db),
+                                   iteration, timings)
+            Ka = 0.5 * (Kt + Ks)
+            Kb = 0.5 * (Kt - Ks)
+        return np.asarray(J), np.asarray(Ka), np.asarray(Kb)
+
+    def jk_halves(self, D, iteration, timings: Timings):
+        """Digest one symmetric density into (J, K) such that the RHF
+        two-electron part is J - 0.5 K (both symmetrized, DenseFock
+        index convention)."""
         import os
         import time as _time
 
@@ -456,7 +489,7 @@ class ScreenedDirectFock(FockBuilder):
         K = JK[P2:].reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
         J = J + J.T
         K = K + K.T
-        return np.asarray(J - 0.5 * K)
+        return J, K
 
     def finalize(self):
         for g in self.groups:
