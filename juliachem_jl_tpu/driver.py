@@ -29,6 +29,10 @@ def run_spec(spec, output: int = 0) -> dict:
         from .models import uhf as uhf_mod
 
         result = uhf_mod.energy(mol, bsets, scf_flags, output=output)
+    elif method == "ROHF":
+        from .models import rohf as rohf_mod
+
+        result = rohf_mod.energy(mol, bsets, scf_flags, output=output)
     else:
         result = rhf_mod.energy(mol, bsets, scf_flags, output=output)
     props = properties_mod.run(mol, bsets, result, spec.prop_keywords, output=output)
