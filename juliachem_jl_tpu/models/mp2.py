@@ -146,6 +146,87 @@ def ri_mp2_energy_sharded(rhf_result, basis_sets, n_devices: int,
     }
 
 
+def _e2_ss_kernel(Bia, eps_occ, eps_virt):
+    """Same-spin UMP2 channel: (1/4) sum |<ij||ab>|^2 / Delta via a scan of
+    per-i gemms (antisymmetrized in the virtual pair)."""
+    nocc = Bia.shape[1]
+
+    def body(carry, i):
+        Bi = Bia[:, i, :]
+        iajb = jnp.einsum("qa,qjb->jab", Bi, Bia)
+        anti = iajb - jnp.swapaxes(iajb, -1, -2)
+        denom = (eps_occ[i] + eps_occ[:, None, None]
+                 - eps_virt[None, :, None] - eps_virt[None, None, :])
+        return carry + 0.25 * jnp.sum(anti * anti / denom), None
+
+    total, _ = jax.lax.scan(body, 0.0, jnp.arange(nocc))
+    return total
+
+
+def _e2_os_kernel(Bia_a, Bia_b, eo_a, ev_a, eo_b, ev_b):
+    """Opposite-spin UMP2 channel: sum (ia|jb)^2 / Delta (i alpha, j beta)."""
+    nocc_a = Bia_a.shape[1]
+
+    def body(carry, i):
+        Bi = Bia_a[:, i, :]
+        iajb = jnp.einsum("qa,qjb->jab", Bi, Bia_b)
+        denom = (eo_a[i] + eo_b[:, None, None]
+                 - ev_a[None, :, None] - ev_b[None, None, :])
+        return carry + jnp.sum(iajb * iajb / denom), None
+
+    total, _ = jax.lax.scan(body, 0.0, jnp.arange(nocc_a))
+    return total
+
+
+_e2_ss_jit = jax.jit(_e2_ss_kernel)
+_e2_os_jit = jax.jit(_e2_os_kernel)
+
+
+def ri_ump2_energy(uhf_result, basis_sets, B=None, opts=None) -> dict:
+    """RI-UMP2 correlation energy from a converged UHF (or ROHF) result.
+
+    E2 = E_aa + E_bb (antisymmetrized same-spin) + E_ab (opposite-spin).
+    For a closed-shell reference this reduces exactly to ri_mp2_energy
+    (tests/test_uhf.py pins the identity).  Also returns the channel split
+    (useful for SCS-type scaling)."""
+    from .df import build_B
+
+    primary = basis_sets.primary
+    aux = basis_sets.auxiliary
+    if B is None:
+        if aux is None:
+            raise ValueError("RI-MP2 requires an auxiliary basis")
+        B = build_B(primary, aux, opts)
+    B = jnp.asarray(B)
+
+    na = int(uhf_result["N Alpha"])
+    nb = int(uhf_result["N Beta"])
+    Ca = np.asarray(uhf_result["MO Coeff Alpha"]
+                    if "MO Coeff Alpha" in uhf_result
+                    else uhf_result["MO Coeff"])
+    Cb = np.asarray(uhf_result.get("MO Coeff Beta", Ca))
+    ea = np.asarray(uhf_result["MO Energies Alpha"]
+                    if "MO Energies Alpha" in uhf_result
+                    else uhf_result["MO Energies"])
+    eb = np.asarray(uhf_result.get("MO Energies Beta", ea))
+
+    Bia_a = _mo_b(B, jnp.asarray(Ca[:, :na]), jnp.asarray(Ca[:, na:]))
+    Bia_b = _mo_b(B, jnp.asarray(Cb[:, :nb]), jnp.asarray(Cb[:, nb:]))
+    e_aa = float(_e2_ss_jit(Bia_a, jnp.asarray(ea[:na]), jnp.asarray(ea[na:])))
+    e_bb = float(_e2_ss_jit(Bia_b, jnp.asarray(eb[:nb]), jnp.asarray(eb[nb:])))
+    e_ab = float(_e2_os_jit(Bia_a, Bia_b,
+                            jnp.asarray(ea[:na]), jnp.asarray(ea[na:]),
+                            jnp.asarray(eb[:nb]), jnp.asarray(eb[nb:])))
+    e2 = e_aa + e_bb + e_ab
+    return {
+        "E2": e2,
+        "E2 Same Spin": e_aa + e_bb,
+        "E2 Opposite Spin": e_ab,
+        "Energy": float(uhf_result["Energy"]) + e2,
+        "E_HF": float(uhf_result["Energy"]),
+    }
+
+
 def ri_mp2_energy(rhf_result, basis_sets, mol=None, B=None, opts=None) -> dict:
     """Compute the RI-MP2 correlation energy from a converged RHF result.
 

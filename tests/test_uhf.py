@@ -118,6 +118,51 @@ def test_uhf_impossible_multiplicity():
         uhf.energy(mol, bsets, {"multiplicity": 2})
 
 
+def test_ump2_closed_shell_equals_rmp2():
+    # RI-UMP2 on a closed-shell UHF reference must reproduce RI-MP2 exactly
+    import warnings
+
+    from juliachem_jl_tpu.basis import CalculationBasisSets
+    from juliachem_jl_tpu.models import mp2
+
+    mol, b0 = _water()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        b = CalculationBasisSets(
+            b0.primary, basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", "6-31G"))
+    flags = {"scf_type": "df", "niter": 60, "dele": 1e-10, "rmsd": 1e-8,
+             "guess": "sad"}
+    r = rhf.energy(mol, b, flags)
+    u = uhf.energy(mol, b, flags)
+    e_r = mp2.ri_mp2_energy(r, b)["E2"]
+    m_u = mp2.ri_ump2_energy(u, b)
+    assert abs(m_u["E2"] - e_r) < 1e-12
+    assert m_u["E2 Same Spin"] < 0 and m_u["E2 Opposite Spin"] < 0
+
+
+def test_ump2_radical():
+    import warnings
+
+    from juliachem_jl_tpu.basis import CalculationBasisSets
+    from juliachem_jl_tpu.models import mp2
+
+    mol = molecule.from_input_dict({
+        "symbols": ["O", "H"], "geometry": [0, 0, 0, 0, 0, 0.97],
+        "molecular_multiplicity": 2,
+    })
+    b0 = basis.run(mol, {"basis": "6-31G"})
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        b = CalculationBasisSets(
+            b0.primary, basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", "6-31G"))
+    u = uhf.energy(mol, b, {"scf_type": "df", "niter": 60, "dele": 1e-9,
+                            "rmsd": 1e-7, "guess": "sad"})
+    m = mp2.ri_ump2_energy(u, b)
+    # correlation is negative, dominated by the opposite-spin channel
+    assert -0.5 < m["E2"] < -0.01
+    assert m["E2 Opposite Spin"] < m["E2 Same Spin"] < 0
+
+
 def test_uhf_driver_route():
     # model.method == "UHF" routes through the end-to-end driver
     from juliachem_jl_tpu.io.input_parser import InputSpec
