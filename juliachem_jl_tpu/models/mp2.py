@@ -218,21 +218,25 @@ def ri_ump2_energy(uhf_result, basis_sets, B=None, opts=None) -> dict:
                             jnp.asarray(ea[:na]), jnp.asarray(ea[na:]),
                             jnp.asarray(eb[:nb]), jnp.asarray(eb[nb:])))
     e2 = e_aa + e_bb + e_ab
+    e_ss = e_aa + e_bb
     return {
         "E2": e2,
-        "E2 Same Spin": e_aa + e_bb,
+        "E2 Same Spin": e_ss,
         "E2 Opposite Spin": e_ab,
+        "E2 SCS": 1.2 * e_ab + e_ss / 3.0,   # Grimme spin-component scaling
         "Energy": float(uhf_result["Energy"]) + e2,
         "E_HF": float(uhf_result["Energy"]),
     }
 
 
-def ri_mp2_energy(rhf_result, basis_sets, mol=None, B=None, opts=None) -> dict:
+def ri_mp2_energy(rhf_result, basis_sets, mol=None, B=None, opts=None,
+                  scs: bool = False) -> dict:
     """Compute the RI-MP2 correlation energy from a converged RHF result.
 
     Uses the auxiliary basis of basis_sets (RIFIT recommended); reuses a
     prebuilt B tensor if given.  num_devices > 1 in opts routes to the
-    mesh-sharded path (ri_mp2_energy_sharded).
+    mesh-sharded path (ri_mp2_energy_sharded).  scs=True adds the
+    spin-channel split and the SCS-MP2 energy (one extra E2-cost pass).
     """
     from .df import build_B
 
@@ -256,8 +260,17 @@ def ri_mp2_energy(rhf_result, basis_sets, mol=None, B=None, opts=None) -> dict:
 
     Bia = _mo_b(B, jnp.asarray(Cocc), jnp.asarray(Cvirt))
     e2 = float(_e2_jit(Bia, jnp.asarray(eps_occ), jnp.asarray(eps_virt)))
-    return {
+    out = {
         "E2": e2,
         "Energy": float(rhf_result["Energy"]) + e2,
         "E_HF": float(rhf_result["Energy"]),
     }
+    if scs:
+        # channel split: E_os = sum (ia|jb)^2/Delta; E_ss = E2 - E_os
+        eo, ev = jnp.asarray(eps_occ), jnp.asarray(eps_virt)
+        e_os = float(_e2_os_jit(Bia, Bia, eo, ev, eo, ev))
+        e_ss = e2 - e_os
+        out["E2 Opposite Spin"] = e_os
+        out["E2 Same Spin"] = e_ss
+        out["E2 SCS"] = 1.2 * e_os + e_ss / 3.0
+    return out

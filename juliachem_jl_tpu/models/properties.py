@@ -78,6 +78,16 @@ def run(mol, basis_sets, rhf_result, prop_keywords: dict | None = None, output: 
         out["Mulliken Population"] = mulliken_populations(mol, basis, rhf_result)
         if output >= 1:
             print("Mulliken populations:", out["Mulliken Population"])
+        if rhf_result.get("Spin Density") is not None:
+            # open-shell (UHF/ROHF): per-atom spin populations from the
+            # spin-density Mulliken sums (alpha minus beta)
+            spin_res = {"Density": rhf_result["Spin Density"],
+                        "Overlap": rhf_result["Overlap"]}
+            out["Mulliken Spin Population"] = mulliken_populations(
+                mol, basis, spin_res)
+            if output >= 1:
+                print("Mulliken spin populations:",
+                      out["Mulliken Spin Population"])
     if kw.get("multipole") == "dipole":
         out["Dipole"] = dipole_moment(mol, basis, rhf_result)
         if output >= 1:
