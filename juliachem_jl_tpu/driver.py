@@ -24,7 +24,8 @@ def run_spec(spec, output: int = 0) -> dict:
         scf_flags["scf_type"] = "df"
     method = str(spec.model.get("method", "RHF")).upper()
     if spec.driver == "gradient":
-        result = gradient_mod.run(mol, bsets, scf_flags, output=output)
+        result = gradient_mod.run(mol, bsets, scf_flags, output=output,
+                                  method=method)
     elif method == "UHF":
         from .models import uhf as uhf_mod
 

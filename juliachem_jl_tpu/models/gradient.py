@@ -64,23 +64,61 @@ def total_gradient(mol, basis, D: np.ndarray, W: np.ndarray,
             + g2)
 
 
-def run(mol, basis_sets, scf_flags=None, output: int = 0) -> dict:
+def total_gradient_uhf(mol, basis, uhf_result) -> np.ndarray:
+    """Full analytic UHF gradient [natom, 3] from a converged UHF result
+    (conventional functional): the one-electron term contracts the total
+    density and the spin-summed energy-weighted density, the two-electron
+    term the UHF two-particle density (ops/eri_grad.py)."""
+    from ..ops.eri_grad import two_electron_gradient
+
+    na, nb = int(uhf_result["N Alpha"]), int(uhf_result["N Beta"])
+    Ca = np.asarray(uhf_result["MO Coeff Alpha"])
+    Cb = np.asarray(uhf_result["MO Coeff Beta"])
+    ea = np.asarray(uhf_result["MO Energies Alpha"])
+    eb = np.asarray(uhf_result["MO Energies Beta"])
+    Da = Ca[:, :na] @ Ca[:, :na].T
+    Db = Cb[:, :nb] @ Cb[:, :nb].T
+    W = ((Ca[:, :na] * ea[:na][None, :]) @ Ca[:, :na].T
+         + (Cb[:, :nb] * eb[:nb][None, :]) @ Cb[:, :nb].T)
+    g2 = two_electron_gradient(basis, mol, Da + Db,
+                               spin_densities=(Da, Db))
+    return (nuclear_repulsion_gradient(mol)
+            + one_electron_gradient(mol, basis, Da + Db, W)
+            + g2)
+
+
+def run(mol, basis_sets, scf_flags=None, output: int = 0,
+        method: str = "RHF") -> dict:
     """API shape of JCRHF.Gradient.run (Gradient.jl:19-29) — but actually
     working: converges the SCF and returns the analytic nuclear gradient of
     the same energy functional (conventional, or RI-fitted when
-    scf_type=df)."""
+    scf_type=df; method="UHF" differentiates the unrestricted functional,
+    conventional only)."""
     from . import rhf
 
     flags = dict(scf_flags or {})
     use_df = str(flags.get("scf_type", "rhf")).lower() == "df"
-    res = rhf.energy(mol, basis_sets, flags, output=output)
-    if not res.get("Converged?"):
-        raise RuntimeError("gradient requested on an unconverged SCF")
-    grad = total_gradient(mol, basis_sets.primary, np.asarray(res["Density"]),
-                          np.asarray(res["W"]),
-                          aux=basis_sets.auxiliary if use_df else None)
+    if method.upper() == "UHF":
+        from . import uhf
+
+        if use_df:
+            raise NotImplementedError(
+                "analytic DF-UHF gradients not implemented yet; use the "
+                "conventional functional (scf_type=rhf)")
+        res = uhf.energy(mol, basis_sets, flags, output=output)
+        if not res.get("Converged?"):
+            raise RuntimeError("gradient requested on an unconverged SCF")
+        grad = total_gradient_uhf(mol, basis_sets.primary, res)
+    else:
+        res = rhf.energy(mol, basis_sets, flags, output=output)
+        if not res.get("Converged?"):
+            raise RuntimeError("gradient requested on an unconverged SCF")
+        grad = total_gradient(
+            mol, basis_sets.primary, np.asarray(res["Density"]),
+            np.asarray(res["W"]),
+            aux=basis_sets.auxiliary if use_df else None)
     if output >= 2:
-        print("RHF nuclear gradient (Eh/bohr):")
+        print(f"{method.upper()} nuclear gradient (Eh/bohr):")
         for k in range(mol.natom):
             print(f"  {mol.symbols[k]:2s} {grad[k, 0]: .10f} "
                   f"{grad[k, 1]: .10f} {grad[k, 2]: .10f}")

@@ -132,12 +132,19 @@ def _eri_grad_kernel(la, lb, lc, ld):
 
 
 def two_electron_gradient(basis: Basis, mol, D: np.ndarray,
-                          cutoff: float = 1.0e-11) -> np.ndarray:
+                          cutoff: float = 1.0e-11,
+                          spin_densities=None) -> np.ndarray:
     """dE_2e/dR [natom, 3]: Schwarz-screened contraction of the derivative
     quartet blocks with the symmetrized two-particle density G~ (docstring).
 
     Iterates every ordered pair of unique shell-pair blocks (both (P,Q) and
-    (Q,P)), so each side only needs its own pair weight (2 - delta)."""
+    (Q,P)), so each side only needs its own pair weight (2 - delta).
+
+    spin_densities=(Da, Db) switches to the UHF two-particle density
+    (factor-1 spin densities; D must then be the total Da+Db):
+        G~ = 1/2 Dt_mn Dt_ls
+             - 1/4 sum_s (Ds_ml Ds_ns + Ds_ms Ds_nl)
+    which reduces to the closed-shell expression for Da = Db = D/2."""
     natom = mol.natom
     grad = np.zeros((natom, 3))
     blocks = unique_pair_blocks(basis)
@@ -171,17 +178,25 @@ def two_electron_gradient(basis: Basis, mol, D: np.ndarray,
                 od = ket.off_b[ik][:, None] + np.arange(ncd_)[None, :]
                 D_mn = D[oa[:, :, None], ob[:, None, :]].reshape(n, -1)
                 D_ls = D[oc[:, :, None], od[:, None, :]].reshape(n, -1)
-                D_ml = D[oa[:, :, None, None, None],
-                         oc[:, None, None, :, None]]          # [n,a,1,c,1]
-                D_ns = D[ob[:, None, :, None, None],
-                         od[:, None, None, None, :]]          # [n,1,b,1,d]
-                D_ms = D[oa[:, :, None, None, None],
-                         od[:, None, None, None, :]]          # [n,a,1,1,d]
-                D_nl = D[ob[:, None, :, None, None],
-                         oc[:, None, None, :, None]]          # [n,1,b,c,1]
-                gam = (0.5 * D_mn[:, :, None] * D_ls[:, None, :]
-                       - 0.125 * ((D_ml * D_ns) + (D_ms * D_nl)).reshape(
-                           n, nca * ncb, ncc * ncd_))
+
+                def _exch(M):
+                    M_ml = M[oa[:, :, None, None, None],
+                             oc[:, None, None, :, None]]      # [n,a,1,c,1]
+                    M_ns = M[ob[:, None, :, None, None],
+                             od[:, None, None, None, :]]      # [n,1,b,1,d]
+                    M_ms = M[oa[:, :, None, None, None],
+                             od[:, None, None, None, :]]      # [n,a,1,1,d]
+                    M_nl = M[ob[:, None, :, None, None],
+                             oc[:, None, None, :, None]]      # [n,1,b,c,1]
+                    return ((M_ml * M_ns) + (M_ms * M_nl)).reshape(
+                        n, nca * ncb, ncc * ncd_)
+
+                coul = 0.5 * D_mn[:, :, None] * D_ls[:, None, :]
+                if spin_densities is None:
+                    gam = coul - 0.125 * _exch(D)
+                else:
+                    Da_, Db_ = spin_densities
+                    gam = coul - 0.25 * (_exch(Da_) + _exch(Db_))
                 w = (w_bra[ib] * w_ket[ik])[:, None]
                 fA = w * np.einsum("nac,ndac->nd", gam, dA)
                 fB = w * np.einsum("nac,ndac->nd", gam, dB)

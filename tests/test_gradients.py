@@ -244,3 +244,37 @@ def test_driver_gradient_end_to_end(tmp_path):
     assert np.abs(g.sum(axis=0)).max() < 1e-10
     # near re=0.74 A the H2/STO-3G PES slope is small but nonzero
     assert 1e-4 < abs(g[1, 2]) < 0.1
+
+
+def test_total_uhf_gradient_vs_finite_differences():
+    """Analytic UHF gradient (spin two-particle density) vs central
+    differences of the converged UHF energy (OH radical, 6-31G)."""
+    from juliachem_jl_tpu.models import gradient, uhf
+
+    flags = {"niter": 80, "dele": 1e-11, "rmsd": 1e-9, "guess": "sad"}
+
+    def mk(dz):
+        return molecule.from_input_dict({
+            "symbols": ["O", "H"],
+            "geometry": [0, 0, 0, 0, 0, 0.97 + dz],
+            "molecular_multiplicity": 2,
+        })
+
+    mol = mk(0.0)
+    b = basis_mod.run(mol, {"basis": "6-31G"})
+    res = gradient.run(mol, b, flags, method="UHF")
+    g = res["Gradient"]
+    assert np.abs(g.sum(axis=0)).max() < 1e-10   # translational invariance
+
+    from juliachem_jl_tpu.utils.elements import ANGSTROM_TO_BOHR
+
+    h = 1e-4
+    def e_at(dz):
+        m2 = mk(dz)
+        b2 = basis_mod.run(m2, {"basis": "6-31G"})
+        r = uhf.energy(m2, b2, flags)
+        assert r["Converged?"]
+        return r["Energy"]
+
+    fd = (e_at(h) - e_at(-h)) / (2 * h * ANGSTROM_TO_BOHR)
+    assert abs(g[1, 2] - fd) < 5e-7
