@@ -11,7 +11,7 @@ Each system runs in a fresh interpreter (long-lived processes accumulate XLA
 compile state).  Writes S22_RESULTS.json at the repo root.
 
 Usage: python tools/run_s22_sweep.py [first_n] [--df-only|--conv-only]
-                                     [--order=size]
+                                     [--order=size] [--timeout=SECONDS]
 
 --order=size runs systems smallest-first (by atom count): on a slow backend
 (CPU fallback during TPU outages) this maximizes the number of completed
@@ -78,8 +78,14 @@ def run_one(code: str, timeout: int = 7200) -> dict:
     env = dict(os.environ)
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     t0 = time.time()
-    proc = subprocess.run([sys.executable, "-c", code], env=env,
-                          capture_output=True, text=True, timeout=timeout)
+    try:
+        proc = subprocess.run([sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired:
+        # a timeout must not kill the sweep — record and move on (the
+        # resume logic retries the system on the next invocation)
+        return {"error": f"timeout after {timeout}s",
+                "wall_s": round(time.time() - t0, 1)}
     dt = time.time() - t0
     for line in proc.stdout.splitlines():
         if line.startswith("RESULT:"):
@@ -94,6 +100,7 @@ def main():
     n = 22
     modes = ["conv", "df"]
     by_size = False
+    timeout = 7200
     for arg in sys.argv[1:]:
         if arg == "--df-only":
             modes = ["df"]
@@ -101,6 +108,8 @@ def main():
             modes = ["conv"]
         elif arg == "--order=size":
             by_size = True
+        elif arg.startswith("--timeout="):
+            timeout = int(arg.split("=", 1)[1])
         else:
             n = int(arg)
 
@@ -138,7 +147,7 @@ def main():
             if mode in results[key] and results[key][mode].get("pass"):
                 continue  # resume support
             code = (_CONV if mode == "conv" else _DF).format(ref=REF, imol=imol)
-            out = run_one(code)
+            out = run_one(code, timeout=timeout)
             if "error" in out:
                 out["pass"] = False
             elif mode == "conv":
