@@ -64,12 +64,12 @@ def total_gradient(mol, basis, D: np.ndarray, W: np.ndarray,
             + g2)
 
 
-def total_gradient_uhf(mol, basis, uhf_result) -> np.ndarray:
-    """Full analytic UHF gradient [natom, 3] from a converged UHF result
-    (conventional functional): the one-electron term contracts the total
-    density and the spin-summed energy-weighted density, the two-electron
-    term the UHF two-particle density (ops/eri_grad.py)."""
-    from ..ops.eri_grad import two_electron_gradient
+def total_gradient_uhf(mol, basis, uhf_result, aux=None) -> np.ndarray:
+    """Full analytic UHF gradient [natom, 3] from a converged UHF result:
+    the one-electron term contracts the total density and the spin-summed
+    energy-weighted density, the two-electron term the UHF two-particle
+    density (conventional, or the RI-fitted functional when aux is given)."""
+    from ..ops.eri_grad import df_two_electron_gradient, two_electron_gradient
 
     na, nb = int(uhf_result["N Alpha"]), int(uhf_result["N Beta"])
     Ca = np.asarray(uhf_result["MO Coeff Alpha"])
@@ -80,8 +80,12 @@ def total_gradient_uhf(mol, basis, uhf_result) -> np.ndarray:
     Db = Cb[:, :nb] @ Cb[:, :nb].T
     W = ((Ca[:, :na] * ea[:na][None, :]) @ Ca[:, :na].T
          + (Cb[:, :nb] * eb[:nb][None, :]) @ Cb[:, :nb].T)
-    g2 = two_electron_gradient(basis, mol, Da + Db,
-                               spin_densities=(Da, Db))
+    if aux is None:
+        g2 = two_electron_gradient(basis, mol, Da + Db,
+                                   spin_densities=(Da, Db))
+    else:
+        g2 = df_two_electron_gradient(basis, aux, mol, Da + Db,
+                                      spin_densities=(Da, Db))
     return (nuclear_repulsion_gradient(mol)
             + one_electron_gradient(mol, basis, Da + Db, W)
             + g2)
@@ -96,19 +100,22 @@ def run(mol, basis_sets, scf_flags=None, output: int = 0,
     conventional only)."""
     from . import rhf
 
+    if basis_sets is None or getattr(basis_sets, "primary", None) is None:
+        raise ValueError("gradient.run requires built basis sets "
+                         "(basis.run(mol, model))")
     flags = dict(scf_flags or {})
     use_df = str(flags.get("scf_type", "rhf")).lower() == "df"
+    if use_df and basis_sets.auxiliary is None:
+        raise ValueError("scf_type=df gradient requires an auxiliary basis")
     if method.upper() == "UHF":
         from . import uhf
 
-        if use_df:
-            raise NotImplementedError(
-                "analytic DF-UHF gradients not implemented yet; use the "
-                "conventional functional (scf_type=rhf)")
         res = uhf.energy(mol, basis_sets, flags, output=output)
         if not res.get("Converged?"):
             raise RuntimeError("gradient requested on an unconverged SCF")
-        grad = total_gradient_uhf(mol, basis_sets.primary, res)
+        grad = total_gradient_uhf(
+            mol, basis_sets.primary, res,
+            aux=basis_sets.auxiliary if use_df else None)
     else:
         res = rhf.energy(mol, basis_sets, flags, output=output)
         if not res.get("Converged?"):

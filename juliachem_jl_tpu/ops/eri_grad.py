@@ -245,11 +245,18 @@ def _dense_three_center(primary: Basis, aux: Basis) -> np.ndarray:
 
 
 def df_two_electron_gradient(primary: Basis, aux: Basis, mol,
-                             D: np.ndarray) -> np.ndarray:
+                             D: np.ndarray,
+                             spin_densities=None) -> np.ndarray:
     """dE_2e/dR [natom, 3] of the RI-fitted two-electron energy
 
         E_2e = sum_pqrs Gamma_pqrs (pq|A) M^-1_AB (B|rs),
         Gamma = 1/2 D_pq D_rs - 1/4 D_pr D_qs
+
+    spin_densities=(Da, Db) switches to the UHF fitted functional
+    (factor-1 spin densities, D = Da + Db):
+        Gamma = 1/2 Dt_pq Dt_rs - 1/2 sum_s Ds_pr Ds_qs
+    (reduces to the closed-shell form for Da = Db = D/2); only the fitted
+    intermediate U changes, the derivative machinery is shared.
 
     =  2 sum_{A,pq} gamma_{A,pq} d(A|pq)  -  sum_{AB} Omega_AB dM_AB
 
@@ -275,8 +282,14 @@ def df_two_electron_gradient(primary: Basis, aux: Basis, mol,
     P3f = P3.reshape(naux, -1)
 
     v = P3f @ D.reshape(-1)                                  # [naux]
-    U = (0.5 * v[:, None, None] * D[None]
-         - 0.25 * np.einsum("pr,ars,sq->apq", D, P3, D))
+    if spin_densities is None:
+        U = (0.5 * v[:, None, None] * D[None]
+             - 0.25 * np.einsum("pr,ars,sq->apq", D, P3, D))
+    else:
+        Da_, Db_ = spin_densities
+        U = (0.5 * v[:, None, None] * D[None]
+             - 0.5 * (np.einsum("pr,ars,sq->apq", Da_, P3, Da_)
+                      + np.einsum("pr,ars,sq->apq", Db_, P3, Db_)))
     gamma = np.linalg.solve(M, U.reshape(naux, -1))          # [naux, nbf^2]
     W = np.linalg.solve(M, P3f)
     Omega = W @ gamma.T

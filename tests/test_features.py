@@ -163,11 +163,11 @@ def test_nuclear_gradient_and_stub(mol):
     m_m.coords[1, 1] -= eps
     fd = (m_p.nuclear_repulsion() - m_m.nuclear_repulsion()) / (2 * eps)
     assert abs(g[1, 1] - fd) < 1e-6
-    # gradients are fully implemented since round 3 (beyond the reference's
-    # disabled stub); the one remaining stub surface is DF-UHF, which must
-    # raise before touching any state
-    with pytest.raises(NotImplementedError):
-        gradient.run(mol, None, {"scf_type": "df"}, method="UHF")
+    # gradients are fully implemented since round 3 (conventional + DF,
+    # RHF + UHF — beyond the reference's disabled stub); the driver must
+    # still validate its inputs before touching state
+    with pytest.raises(ValueError):
+        gradient.run(mol, None)
 
 
 def test_scf_options_printer(capsys):

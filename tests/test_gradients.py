@@ -278,3 +278,46 @@ def test_total_uhf_gradient_vs_finite_differences():
 
     fd = (e_at(h) - e_at(-h)) / (2 * h * ANGSTROM_TO_BOHR)
     assert abs(g[1, 2] - fd) < 5e-7
+
+
+def test_total_df_uhf_gradient_vs_finite_differences():
+    """Analytic DF-UHF gradient (RI-fitted unrestricted functional) vs
+    central differences of the converged DF-UHF energy."""
+    import warnings
+
+    from juliachem_jl_tpu.basis import CalculationBasisSets
+    from juliachem_jl_tpu.models import gradient, uhf
+
+    flags = {"scf_type": "df", "niter": 80, "dele": 1e-11, "rmsd": 1e-9,
+             "guess": "sad"}
+
+    def mk(dz):
+        return molecule.from_input_dict({
+            "symbols": ["O", "H"],
+            "geometry": [0, 0, 0, 0, 0, 0.97 + dz],
+            "molecular_multiplicity": 2,
+        })
+
+    def bs(m):
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            return CalculationBasisSets(
+                basis_mod.build(m, "6-31G"),
+                basis_mod.build_auxiliary(m, "cc-pVTZ-JKFIT", "6-31G"))
+
+    mol = mk(0.0)
+    res = gradient.run(mol, bs(mol), flags, method="UHF")
+    g = res["Gradient"]
+    assert np.abs(g.sum(axis=0)).max() < 1e-10
+
+    from juliachem_jl_tpu.utils.elements import ANGSTROM_TO_BOHR
+
+    h = 1e-4
+    def e_at(dz):
+        m2 = mk(dz)
+        r = uhf.energy(m2, bs(m2), flags)
+        assert r["Converged?"]
+        return r["Energy"]
+
+    fd = (e_at(h) - e_at(-h)) / (2 * h * ANGSTROM_TO_BOHR)
+    assert abs(g[1, 2] - fd) < 5e-7
