@@ -91,6 +91,41 @@ def total_gradient_uhf(mol, basis, uhf_result, aux=None) -> np.ndarray:
             + g2)
 
 
+def total_gradient_rohf(mol, basis, rohf_result, aux=None) -> np.ndarray:
+    """Analytic ROHF gradient [natom, 3].
+
+    Uses the general SCF Pulay weight
+        W = 1/2 sum_s (D_s F_s S^-1 + S^-1 F_s D_s)
+    which is valid for any converged single-determinant SCF (for UHF it
+    reduces to C_occ eps C_occ^T per spin since F_s is diagonal in its own
+    MOs; for ROHF the shared orbitals diagonalize the effective Fock, not
+    F_a/F_b, so the general form is required).  The two-electron term is
+    the same spin two-particle density as UHF, with D_a/D_b built from the
+    one shared orbital set."""
+    from ..ops.eri_grad import df_two_electron_gradient, two_electron_gradient
+
+    na, nb = int(rohf_result["N Alpha"]), int(rohf_result["N Beta"])
+    C = np.asarray(rohf_result["MO Coeff"])
+    S = np.asarray(rohf_result["Overlap"])
+    Fa = np.asarray(rohf_result["Fock Alpha"])
+    Fb = np.asarray(rohf_result["Fock Beta"])
+    Da = C[:, :na] @ C[:, :na].T
+    Db = C[:, :nb] @ C[:, :nb].T
+    W = np.zeros_like(S)
+    for Ds, Fs in ((Da, Fa), (Db, Fb)):
+        X = np.linalg.solve(S, Fs @ Ds)          # S^-1 F_s D_s
+        W += 0.5 * (X + X.T)
+    if aux is None:
+        g2 = two_electron_gradient(basis, mol, Da + Db,
+                                   spin_densities=(Da, Db))
+    else:
+        g2 = df_two_electron_gradient(basis, aux, mol, Da + Db,
+                                      spin_densities=(Da, Db))
+    return (nuclear_repulsion_gradient(mol)
+            + one_electron_gradient(mol, basis, Da + Db, W)
+            + g2)
+
+
 def run(mol, basis_sets, scf_flags=None, output: int = 0,
         method: str = "RHF") -> dict:
     """API shape of JCRHF.Gradient.run (Gradient.jl:19-29) — but actually
@@ -114,6 +149,15 @@ def run(mol, basis_sets, scf_flags=None, output: int = 0,
         if not res.get("Converged?"):
             raise RuntimeError("gradient requested on an unconverged SCF")
         grad = total_gradient_uhf(
+            mol, basis_sets.primary, res,
+            aux=basis_sets.auxiliary if use_df else None)
+    elif method.upper() == "ROHF":
+        from . import rohf
+
+        res = rohf.energy(mol, basis_sets, flags, output=output)
+        if not res.get("Converged?"):
+            raise RuntimeError("gradient requested on an unconverged SCF")
+        grad = total_gradient_rohf(
             mol, basis_sets.primary, res,
             aux=basis_sets.auxiliary if use_df else None)
     else:

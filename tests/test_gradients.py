@@ -321,3 +321,36 @@ def test_total_df_uhf_gradient_vs_finite_differences():
 
     fd = (e_at(h) - e_at(-h)) / (2 * h * ANGSTROM_TO_BOHR)
     assert abs(g[1, 2] - fd) < 5e-7
+
+
+def test_total_rohf_gradient_vs_finite_differences():
+    """Analytic ROHF gradient via the general SCF Pulay weight
+    W = 1/2 sum_s (D_s F_s S^-1 + h.c.) vs central differences."""
+    from juliachem_jl_tpu.models import gradient, rohf
+
+    flags = {"niter": 100, "dele": 1e-11, "rmsd": 1e-9}
+
+    def mk(dz):
+        return molecule.from_input_dict({
+            "symbols": ["O", "H"],
+            "geometry": [0, 0, 0, 0, 0, 0.97 + dz],
+            "molecular_multiplicity": 2,
+        })
+
+    mol = mk(0.0)
+    res = gradient.run(mol, basis_mod.run(mol, {"basis": "6-31G"}), flags,
+                       method="ROHF")
+    g = res["Gradient"]
+    assert np.abs(g.sum(axis=0)).max() < 1e-10
+
+    from juliachem_jl_tpu.utils.elements import ANGSTROM_TO_BOHR
+
+    h = 1e-4
+    def e_at(dz):
+        m2 = mk(dz)
+        r = rohf.energy(m2, basis_mod.run(m2, {"basis": "6-31G"}), flags)
+        assert r["Converged?"]
+        return r["Energy"]
+
+    fd = (e_at(h) - e_at(-h)) / (2 * h * ANGSTROM_TO_BOHR)
+    assert abs(g[1, 2] - fd) < 5e-7
