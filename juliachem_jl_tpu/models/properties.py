@@ -37,6 +37,21 @@ def mulliken_charges(mol, basis, result) -> np.ndarray:
     return np.asarray(mol.z, dtype=float) - mulliken_populations(mol, basis, result)
 
 
+def lowdin_populations(mol, basis, result) -> np.ndarray:
+    """Per-atom Lowdin populations diag(S^1/2 D S^1/2) block-summed —
+    basis-orthogonalized and less basis-set-sensitive than Mulliken
+    (capability beyond the reference's Mulliken-only analysis)."""
+    D = np.asarray(result["Density"])
+    S = np.asarray(result["Overlap"])
+    w, U = np.linalg.eigh(S)
+    S_half = (U * np.sqrt(np.maximum(w, 0.0))[None, :]) @ U.T
+    diag = np.einsum("pq,qr,rp->p", S_half, D, S_half)
+    bf_atom = basis.bf_to_atom()
+    pops = np.zeros(mol.natom)
+    np.add.at(pops, bf_atom, diag)
+    return pops
+
+
 def dipole_moment(mol, basis, result) -> dict:
     """Nuclear + electronic dipole in Debye (Multipole.jl:60-117)."""
     from ..ops.oei import dipole_matrices
@@ -88,6 +103,10 @@ def run(mol, basis_sets, rhf_result, prop_keywords: dict | None = None, output: 
             if output >= 1:
                 print("Mulliken spin populations:",
                       out["Mulliken Spin Population"])
+    if kw.get("lowdin"):
+        out["Lowdin Population"] = lowdin_populations(mol, basis, rhf_result)
+        if output >= 1:
+            print("Lowdin populations:", out["Lowdin Population"])
     if kw.get("multipole") == "dipole":
         out["Dipole"] = dipole_moment(mol, basis, rhf_result)
         if output >= 1:

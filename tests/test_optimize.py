@@ -34,3 +34,21 @@ def test_optimize_oh_uhf():
     r = np.linalg.norm(out["Molecule"].coords[1] - out["Molecule"].coords[0])
     assert 0.90 < r / ANGSTROM_TO_BOHR < 1.02
     assert np.abs(out["Gradient"]).max() < 1e-4
+
+
+def test_frequencies_h2():
+    """Numerical Hessian of the analytic gradient: H2 RHF/6-31G harmonic
+    frequency (literature ~4645 cm^-1) after optimization; translations
+    and rotations near zero."""
+    from juliachem_jl_tpu.models import hessian
+
+    mol = molecule.from_input_dict({
+        "symbols": ["H", "H"], "geometry": [0, 0, 0, 0, 0, 0.73],
+    })
+    opt = optimize.optimize(mol, {"basis": "6-31G"})
+    out = hessian.frequencies(opt["Molecule"], {"basis": "6-31G"})
+    assert out["Frequencies"].shape == (1,)
+    assert 4550.0 < out["Frequencies"][0] < 4750.0
+    # 3 translations + 2 rotations, all tiny at the optimized geometry
+    rest = np.sort(np.abs(out["All Frequencies"]))[:5]
+    assert rest.max() < 60.0
