@@ -51,6 +51,35 @@ print("RESULT:" + json.dumps({{
 }}))
 """
 
+_CONV_DFGUESS = """
+import json, warnings
+from juliachem_jl_tpu import basis, io, molecule
+from juliachem_jl_tpu.basis import CalculationBasisSets
+from juliachem_jl_tpu.models import properties, rhf
+
+spec = io.read_input("{ref}/example_inputs/S22/{imol:02d}_MP2.json")
+mol = molecule.from_input_dict(spec.molecule)
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    bsets = CalculationBasisSets(
+        basis.build(mol, spec.model["basis"]),
+        basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", spec.model["basis"]),
+    )
+res = rhf.energy(mol, bsets, {{"niter": 60, "dele": 1e-9, "rmsd": 1e-7,
+                               "guess": "df", "df_niter": 30,
+                               "df_dele": 1e-7, "df_rmsd": 1e-5}})
+props = properties.run(
+    mol, bsets, res,
+    {{"mo energies": True, "mulliken": True, "multipole": "dipole"}})
+print("RESULT:" + json.dumps({{
+    "energy": res["Energy"], "converged": bool(res["Converged?"]),
+    "iters": res["Iterations"],
+    "homo_lumo": props["MO Energies"]["homo_lumo"],
+    "dipole": props["Dipole"]["moment"],
+    "mulliken": list(props["Mulliken Population"]),
+}}))
+"""
+
 _DF = """
 import json, warnings
 from juliachem_jl_tpu import basis, io, molecule
@@ -101,6 +130,7 @@ def main():
     modes = ["conv", "df"]
     by_size = False
     timeout = 7200
+    df_guess = False
     for arg in sys.argv[1:]:
         if arg == "--df-only":
             modes = ["df"]
@@ -110,6 +140,11 @@ def main():
             by_size = True
         elif arg.startswith("--timeout="):
             timeout = int(arg.split("=", 1)[1])
+        elif arg == "--df-guess":
+            # conventional energies from a DF-converged starting density:
+            # ~3-5 conventional iterations instead of ~17 (same 1e-9
+            # fixed point; the golden check is unchanged)
+            df_guess = True
         else:
             n = int(arg)
 
@@ -146,7 +181,9 @@ def main():
                                 results.setdefault(k, {})[m] = r
             if mode in results[key] and results[key][mode].get("pass"):
                 continue  # resume support
-            code = (_CONV if mode == "conv" else _DF).format(ref=REF, imol=imol)
+            tmpl = _DF if mode == "df" else (
+                _CONV_DFGUESS if df_guess else _CONV)
+            code = tmpl.format(ref=REF, imol=imol)
             out = run_one(code, timeout=timeout)
             if "error" in out:
                 out["pass"] = False
