@@ -16,6 +16,19 @@ from .models import properties as properties_mod
 from .models import rhf as rhf_mod
 
 
+def _energy_for(method: str, mol, bsets, scf_flags, output: int) -> dict:
+    """Dispatch the SCF energy by model method (RHF / UHF / ROHF)."""
+    if method == "UHF":
+        from .models import uhf as uhf_mod
+
+        return uhf_mod.energy(mol, bsets, scf_flags, output=output)
+    if method == "ROHF":
+        from .models import rohf as rohf_mod
+
+        return rohf_mod.energy(mol, bsets, scf_flags, output=output)
+    return rhf_mod.energy(mol, bsets, scf_flags, output=output)
+
+
 def run_spec(spec, output: int = 0) -> dict:
     mol = molecule_mod.run(spec, output=output)
     bsets = basis_mod.run(mol, spec.model, output=output)
@@ -23,19 +36,24 @@ def run_spec(spec, output: int = 0) -> dict:
     if spec.auxiliary_basis and "scf_type" not in scf_flags:
         scf_flags["scf_type"] = "df"
     method = str(spec.model.get("method", "RHF")).upper()
-    if spec.driver == "gradient":
+    if spec.driver == "optimize":
+        from .models import optimize as optimize_mod
+
+        result = optimize_mod.optimize(mol, spec.model, scf_flags,
+                                       method=method, output=output)
+        result = {**result.pop("SCF Result"), **result}
+    elif spec.driver == "frequencies":
+        from .models import hessian as hessian_mod
+
+        freq = hessian_mod.frequencies(mol, spec.model, scf_flags,
+                                       method=method, output=output)
+        result = {**_energy_for(method, mol, bsets, scf_flags, output),
+                  **freq}
+    elif spec.driver == "gradient":
         result = gradient_mod.run(mol, bsets, scf_flags, output=output,
                                   method=method)
-    elif method == "UHF":
-        from .models import uhf as uhf_mod
-
-        result = uhf_mod.energy(mol, bsets, scf_flags, output=output)
-    elif method == "ROHF":
-        from .models import rohf as rohf_mod
-
-        result = rohf_mod.energy(mol, bsets, scf_flags, output=output)
     else:
-        result = rhf_mod.energy(mol, bsets, scf_flags, output=output)
+        result = _energy_for(method, mol, bsets, scf_flags, output)
     props = properties_mod.run(mol, bsets, result, spec.prop_keywords, output=output)
     return {
         "Input": spec,

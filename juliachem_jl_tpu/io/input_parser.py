@@ -63,11 +63,12 @@ def parse_input(data: dict | str) -> InputSpec:
     if "geometry" not in molecule or "symbols" not in molecule:
         raise ValueError("molecule section must contain 'geometry' and 'symbols'")
     driver = data.get("driver", "energy")
-    if driver not in ("energy", "gradient"):
-        # the reference supports only "energy" (JCInput.jl); "gradient" is
-        # our extension now that analytic RHF gradients work
+    if driver not in ("energy", "gradient", "optimize", "frequencies"):
+        # the reference supports only "energy" (JCInput.jl); the rest are
+        # our extensions on the analytic-gradient machinery
         raise ValueError(
-            f"driver '{driver}' not supported (have: energy, gradient)"
+            f"driver '{driver}' not supported "
+            "(have: energy, gradient, optimize, frequencies)"
         )
     return InputSpec(
         molecule=molecule,
