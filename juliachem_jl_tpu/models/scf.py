@@ -175,6 +175,13 @@ def scf_loop(
             eps, Cmo, D = np.asarray(eps), np.asarray(Cmo), np.asarray(D)
 
         E_elec = electronic_energy(D, state.H, F)
+        if not np.isfinite(E_elec):
+            # a NaN/inf energy never recovers (it poisons DIIS and the
+            # density); stop immediately so the caller reports a clean
+            # convergence error instead of burning the iteration budget
+            state.F, state.D, state.C, state.eps = F, D, Cmo, eps
+            state.energy_elec = E_elec
+            return False
         dE = E_elec - E_old
         last_dE = dE
         d_rms = float(np.sqrt(np.mean((D - D_old) ** 2))) if D_old is not None else 1.0
