@@ -175,10 +175,14 @@ def scf_loop(
             eps, Cmo, D = np.asarray(eps), np.asarray(Cmo), np.asarray(D)
 
         E_elec = electronic_energy(D, state.H, F)
-        if not np.isfinite(E_elec):
+        if not np.isfinite(E_elec) or abs(E_elec) > 1.0e8:
             # a NaN/inf energy never recovers (it poisons DIIS and the
             # density); stop immediately so the caller reports a clean
-            # convergence error instead of burning the iteration budget
+            # convergence error instead of burning the iteration budget.
+            # The magnitude bound catches finite garbage too: |E_elec| of
+            # any system runnable here is <1e6 Eh, while corrupted device
+            # buffers (observed once when a second process preempted the
+            # single-chip relay claim mid-run: E=1.7e14) blow far past it.
             state.F, state.D, state.C, state.eps = F, D, Cmo, eps
             state.energy_elec = E_elec
             return False

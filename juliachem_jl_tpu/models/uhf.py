@@ -175,9 +175,9 @@ def energy(mol, basis_sets, scf_flags: dict | None = None,
 
         E_elec = 0.5 * float(
             np.sum((Da + Db) * H) + np.sum(Da * Fa) + np.sum(Db * Fb))
-        if not np.isfinite(E_elec):
+        if not np.isfinite(E_elec) or abs(E_elec) > 1.0e8:
             E_old = E_elec
-            break  # NaN never recovers; report a clean convergence error
+            break  # NaN/garbage never recovers; report a convergence error
         dE = E_elec - E_old
         last_dE = dE
         d_rms = float(np.sqrt(0.5 * (np.mean((Da - Da_old) ** 2)
