@@ -63,33 +63,36 @@ def two_center_metric(aux: Basis) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _threecenter_fused_kernel(la: int, lb: int, Ka: int, Kb: int,
-                              aux_meta: tuple):
-    """Jitted 3-center kernel: a chunk of bra pairs against ALL auxiliary
-    classes at once (aux_meta = ((lq, Kq, nq_pad), ...)).
+def _threecenter_compute_kernel(la: int, lb: int, Ka: int, Kb: int,
+                                aux_meta: tuple):
+    """Jitted 3-center COMPUTE kernel: a chunk of bra pairs against a
+    bucket of auxiliary classes (aux_meta = ((lq, Kq, nq_pad), ...)),
+    returning one [Pc, nab, Nq, ncq] block per class.
 
     Key optimizations over quartet-batching:
     * the bra Hermite expansion Eab is computed once per *pair chunk* and
       reused across every auxiliary class (previously recomputed per class);
-    * one kernel launch (and one compile) per pair class instead of one per
-      (pair class x aux class) — the remote-relay compile latency was the
-      dominant cold-start cost of the B build;
-    * the result block is scattered into the flat B workspace on device —
-      the host (a single core in this environment) never touches integral
-      data.
+    * one kernel launch (and one compile) per (pair class x aux bucket)
+      instead of one per (pair class x aux class) — the remote-relay
+      compile latency is the dominant cold-start cost of the B build;
+    * deliberately FREE of the B workspace: the workspace shape is
+      molecule-sized (exact A x npq+1), and baking it into this kernel
+      keyed every expensive recurrence compile (45-85 MB executables,
+      minutes each through the relay) to the exact molecule — the
+      per-molecule compile wall that dominated the S22 sweep.  These
+      kernels now key only on class/bucket metadata shared across every
+      molecule in a basis family; the molecule-shaped scatter lives in the
+      tiny _threecenter_scatter_kernel (seconds to compile).
     """
-    def f(B3, aexp, bexp, acoef, bcoef, A, B, cols, cols_t, valid, mirror,
-          *qflat):
+    def f(aexp, bexp, acoef, bcoef, A, B, valid, *qflat):
         # bra pairs (shared across aux classes)
         Eab, p, P = bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B)
         Lb = la + lb
         vmask = valid[:, None, None, None]
-        mmask = mirror[:, None, None, None]
-        c4 = cols[:, :, None, None]
-        ct4 = cols_t[:, :, None, None]
 
+        outs = []
         for ci, (lq, Kq, nq_pad) in enumerate(aux_meta):
-            qexp, qcoef, Qc, rows = qflat[4 * ci: 4 * ci + 4]
+            qexp, qcoef, Qc = qflat[3 * ci: 3 * ci + 3]
             L = Lb + lq
             comb, sign = combine_tables(Lb, lq)
             sgn = jnp.asarray(sign)
@@ -109,8 +112,26 @@ def _threecenter_fused_kernel(la: int, lb: int, Ka: int, Kb: int,
             # contract aux primitives+hermite: T1[Pc,K2b,h,Nq,c]
             T1 = jnp.einsum("pkqrhg,qrcg->pkhqc", M, Ecd)
             out = jnp.einsum("pkah,pkhqc->paqc", Eab, T1)  # [Pc,nab,Nq,ncq]
-            out = out * vmask
-            # scatter into flat B3 (rows: [Nq, ncq], cols: [Pc, nab])
+            outs.append(out * vmask)
+        return tuple(outs)
+
+    return jax.jit(f)
+
+
+@lru_cache(maxsize=None)
+def _threecenter_scatter_kernel(n_classes: int):
+    """Jitted scatter of per-class compute blocks into the flat B
+    workspace (rows: [Nq, ncq] aux rows, cols: [Pc, nab] packed columns).
+    This is the ONLY 3-center kernel whose compile keys on the
+    molecule-sized workspace shape — a plain scatter-add, seconds to
+    compile even through the remote relay."""
+    def f(B3, cols, cols_t, mirror, *rows_and_outs):
+        c4 = cols[:, :, None, None]
+        ct4 = cols_t[:, :, None, None]
+        mmask = mirror[:, None, None, None]
+        for ci in range(n_classes):
+            rows = rows_and_outs[2 * ci]
+            out = rows_and_outs[2 * ci + 1]
             r4 = rows[None, None, :, :]
             B3 = B3.at[r4, c4].add(out)
             B3 = B3.at[r4, ct4].add(out * mmask)
@@ -141,11 +162,15 @@ def three_center_tensor(
     A, nbf = aux.nbf, primary.nbf
     if pair_blocks is None:
         pair_blocks = unique_pair_blocks(primary)
-    if jax.default_backend() == "cpu":
+    import os
+
+    if (jax.default_backend() == "cpu"
+            and os.environ.get("JCHEM_FORCE_DEVICE_3C") != "1"):
         # zero-compile host path: on the 1-core CPU backend each fused
         # 3-center kernel costs ~60-120 s of XLA compile per pair class and
         # per fresh process; the numpy evaluation needs none and uses exact
-        # (unpadded) shapes
+        # (unpadded) shapes.  JCHEM_FORCE_DEVICE_3C=1 runs the device
+        # (jit) path anyway so tests can cover it without a TPU.
         return _three_center_host(primary, aux, pair_blocks, col_map,
                                   packed_width)
 
@@ -205,26 +230,28 @@ def three_center_tensor(
         # compiled program size stays bounded (the unbounded whole-basis
         # fusion segfaulted the XLA CPU compiler and RESOURCE_EXHAUSTed the
         # TPU at w16).
-        buckets = []  # (meta tuple, qflat slice, sum work)
-        cur_meta, cur_flat, cur_work = [], [], 0
+        buckets = []  # (meta tuple, compute-args slice, rows slice, sum work)
+        cur_meta, cur_flat, cur_rows, cur_work = [], [], [], 0
         for ci, (lq, Kq, nq_pad) in enumerate(aux_meta):
             w = Kq * nq_pad * _nherm(pblk.la + pblk.lb + lq)
             if cur_meta and (cur_work + w) * k2b * CSIZE_MIN > BUDGET:
-                buckets.append((tuple(cur_meta), cur_flat, cur_work))
-                cur_meta, cur_flat, cur_work = [], [], 0
+                buckets.append((tuple(cur_meta), cur_flat, cur_rows, cur_work))
+                cur_meta, cur_flat, cur_rows, cur_work = [], [], [], 0
             cur_meta.append((lq, Kq, nq_pad))
-            cur_flat = cur_flat + qflat[4 * ci: 4 * ci + 4]
+            cur_flat = cur_flat + qflat[4 * ci: 4 * ci + 3]
+            cur_rows.append(qflat[4 * ci + 3])
             cur_work += w
-        buckets.append((tuple(cur_meta), cur_flat, cur_work))
+        buckets.append((tuple(cur_meta), cur_flat, cur_rows, cur_work))
 
         arrays = [pblk.aexp, pblk.bexp, pblk.acoef, pblk.bcoef,
                   pblk.A, pblk.B, cols, cols_t,
                   np.ones(n), mirror]
 
-        for bmeta, bflat, bwork in buckets:
-            kern = _threecenter_fused_kernel(
+        for bmeta, bflat, brows, bwork in buckets:
+            kern = _threecenter_compute_kernel(
                 pblk.la, pblk.lb, pblk.aexp.shape[1], pblk.bexp.shape[1],
                 bmeta)
+            scat = _threecenter_scatter_kernel(len(bmeta))
             # csize depends ONLY on (class, bucket meta) — never on n — so the
             # kernel shape (and its ~30-60 s relay compilation) is shared
             # across every system in a sweep; small blocks pad up instead
@@ -248,10 +275,14 @@ def three_center_tensor(
                     padded.append(x)
                 try:
                     for s in range(done, n_pad, csize):
-                        B3 = kern(
-                            B3,
-                            *(jnp.asarray(x[s:s + csize]) for x in padded),
-                            *bflat)
+                        ch = [jnp.asarray(x[s:s + csize]) for x in padded]
+                        # compute args: aexp..B (0-5) + valid (8); the
+                        # molecule-shaped scatter takes cols/cols_t/mirror
+                        outs = kern(*ch[:6], ch[8], *bflat)
+                        inter = []
+                        for rows, out in zip(brows, outs):
+                            inter += [rows, out]
+                        B3 = scat(B3, ch[6], ch[7], ch[9], *inter)
                         done = min(s + csize, n)
                     break
                 except Exception as exc:
