@@ -184,25 +184,34 @@ def three_center_tensor(
     # padded per-class auxiliary batch arrays, shared across pair classes
     from .class_tables import nherm as _nherm
 
+    # Fixed canonical aux chunk: every aux class is processed in chunks of
+    # exactly NQ_CHUNK shells (padding the tail), so aux_meta — and with it
+    # every expensive compute-kernel compile — is identical for every
+    # molecule sharing a basis family.  Power-of-two per-molecule pads
+    # (the previous scheme) still keyed kernels to the molecule's aux
+    # shell counts, recompiling 45-85 MB executables per system.
+    # Scatter rows for padded tail entries point at aux row 0 with zero
+    # coefficients (qcoef pad = 0 -> integral contribution is exactly 0).
+    NQ_CHUNK = 64
     aux_meta = []
     qflat = []
-    max_qwork = 1
     for aux_blk in aux_unit_blocks(aux):
         ncq = ncart(aux_blk.la)
         nq = aux_blk.n
-        # power-of-two padding: one kernel shape serves a 2x size range
-        nq_pad = max(16, 1 << (nq - 1).bit_length())
-        qexp = np.ones((nq_pad, aux_blk.aexp.shape[1]))
-        qcoef = np.zeros((nq_pad, aux_blk.acoef.shape[1]))
-        Qc = np.zeros((nq_pad, 3))
-        rows = np.zeros((nq_pad, ncq), dtype=np.int64)
-        qexp[:nq] = aux_blk.aexp
-        qcoef[:nq] = aux_blk.acoef
-        Qc[:nq] = aux_blk.A
-        rows[:nq] = aux_blk.off_a[:, None] + np.arange(ncq)[None, :]
-        aux_meta.append((aux_blk.la, aux_blk.aexp.shape[1], nq_pad))
-        qflat += [jnp.asarray(qexp), jnp.asarray(qcoef), jnp.asarray(Qc),
-                  jnp.asarray(rows)]
+        for q0 in range(0, nq, NQ_CHUNK):
+            q1 = min(q0 + NQ_CHUNK, nq)
+            m = q1 - q0
+            qexp = np.ones((NQ_CHUNK, aux_blk.aexp.shape[1]))
+            qcoef = np.zeros((NQ_CHUNK, aux_blk.acoef.shape[1]))
+            Qc = np.zeros((NQ_CHUNK, 3))
+            rows = np.zeros((NQ_CHUNK, ncq), dtype=np.int64)
+            qexp[:m] = aux_blk.aexp[q0:q1]
+            qcoef[:m] = aux_blk.acoef[q0:q1]
+            Qc[:m] = aux_blk.A[q0:q1]
+            rows[:m] = aux_blk.off_a[q0:q1, None] + np.arange(ncq)[None, :]
+            aux_meta.append((aux_blk.la, aux_blk.aexp.shape[1], NQ_CHUNK))
+            qflat += [jnp.asarray(qexp), jnp.asarray(qcoef), jnp.asarray(Qc),
+                      jnp.asarray(rows)]
     aux_meta = tuple(aux_meta)
 
     BUDGET = 1.2e8   # R-tensor working-set elements per kernel launch
@@ -222,84 +231,79 @@ def three_center_tensor(
         n = pblk.n
         k2b = pblk.aexp.shape[1] * pblk.bexp.shape[1]
 
-        # Partition the aux classes into buckets so that the SUM of the
-        # per-class [Pc, K2b, Nq, Kq, nherm] working sets inside one kernel
-        # stays under budget even at the minimum chunk: XLA schedules the
-        # fused class loop with overlapping temp lifetimes, so the peak HLO
-        # temp tracks the bucket total, not the largest class — and the
-        # compiled program size stays bounded (the unbounded whole-basis
-        # fusion segfaulted the XLA CPU compiler and RESOURCE_EXHAUSTed the
-        # TPU at w16).
-        buckets = []  # (meta tuple, compute-args slice, rows slice, sum work)
-        cur_meta, cur_flat, cur_rows, cur_work = [], [], [], 0
-        for ci, (lq, Kq, nq_pad) in enumerate(aux_meta):
-            w = Kq * nq_pad * _nherm(pblk.la + pblk.lb + lq)
-            if cur_meta and (cur_work + w) * k2b * CSIZE_MIN > BUDGET:
-                buckets.append((tuple(cur_meta), cur_flat, cur_rows, cur_work))
-                cur_meta, cur_flat, cur_rows, cur_work = [], [], [], 0
-            cur_meta.append((lq, Kq, nq_pad))
-            cur_flat = cur_flat + qflat[4 * ci: 4 * ci + 3]
-            cur_rows.append(qflat[4 * ci + 3])
-            cur_work += w
-        buckets.append((tuple(cur_meta), cur_flat, cur_rows, cur_work))
-
+        # One compute kernel per DISTINCT aux class type (lq, Kq, NQ_CHUNK):
+        # every shape in the kernel key — pair class, contraction degrees,
+        # fixed aux chunk, work-budget csize — is molecule-independent, so
+        # the expensive compiles are shared across every molecule of a
+        # basis family (cold compile once per sweep, not once per system).
+        # Per-kernel working set [csize, K2b, NQ_CHUNK, Kq, nherm] stays
+        # under BUDGET via csize (the unbounded whole-basis fusion
+        # segfaulted the XLA CPU compiler and RESOURCE_EXHAUSTed the TPU
+        # at w16).
         arrays = [pblk.aexp, pblk.bexp, pblk.acoef, pblk.bcoef,
                   pblk.A, pblk.B, cols, cols_t,
                   np.ones(n), mirror]
 
-        for bmeta, bflat, brows, bwork in buckets:
+        groups: dict = {}  # (lq, Kq, NQ_CHUNK) -> [chunk index]
+        for ci, meta in enumerate(aux_meta):
+            groups.setdefault(meta, []).append(ci)
+
+        for meta, cis in groups.items():
+            lq, Kq, nq_pad = meta
             kern = _threecenter_compute_kernel(
                 pblk.la, pblk.lb, pblk.aexp.shape[1], pblk.bexp.shape[1],
-                bmeta)
-            scat = _threecenter_scatter_kernel(len(bmeta))
-            # csize depends ONLY on (class, bucket meta) — never on n — so the
-            # kernel shape (and its ~30-60 s relay compilation) is shared
-            # across every system in a sweep; small blocks pad up instead
-            # (cheap compute vs another compile).
-            csize = int(BUDGET / max(k2b * bwork, 1))
-            csize = max(16, min(chunk, csize))
+                (meta,))
+            scat = _threecenter_scatter_kernel(1)
+            w = Kq * nq_pad * _nherm(pblk.la + pblk.lb + lq)
+            csize = int(BUDGET / max(k2b * w, 1))
+            csize = max(CSIZE_MIN, min(chunk, csize))
             # round to power-of-two bucket to bound compile variants
             csize = 1 << (csize.bit_length() - 1)
 
-            done = 0  # pair rows already scattered (restart-safe retries)
-            while done < n:
-                # pre-pad the whole block once (host work is serial here)
-                n_pad = -(-n // csize) * csize
-                padded = []
-                for x in arrays:
-                    if n_pad != n:
-                        fill = np.repeat(x[:1], n_pad - n, axis=0)
-                        if x is arrays[8]:  # valid mask: pads are invalid
-                            fill = np.zeros(n_pad - n)
-                        x = np.concatenate([x, fill], axis=0)
-                    padded.append(x)
-                try:
-                    for s in range(done, n_pad, csize):
-                        ch = [jnp.asarray(x[s:s + csize]) for x in padded]
-                        # compute args: aexp..B (0-5) + valid (8); the
-                        # molecule-shaped scatter takes cols/cols_t/mirror
-                        outs = kern(*ch[:6], ch[8], *bflat)
-                        inter = []
-                        for rows, out in zip(brows, outs):
-                            inter += [rows, out]
-                        B3 = scat(B3, ch[6], ch[7], ch[9], *inter)
-                        done = min(s + csize, n)
-                    break
-                except Exception as exc:
-                    # remote TPU compile helper can fail on very large kernel
-                    # working sets; back off to smaller chunks (new csize
-                    # divides old, so `done` stays chunk-aligned).  Only
-                    # compile/resource failures are retryable — numerical or
-                    # shape bugs must surface.
-                    if not _is_compile_or_resource_error(exc) or csize <= 32:
-                        raise
-                    csize //= 4
-                    import warnings
+            for ci in cis:
+                bflat = qflat[4 * ci: 4 * ci + 3]
+                rows = qflat[4 * ci + 3]
+                done = 0  # pair rows already scattered (restart-safe)
+                while done < n:
+                    # pre-pad the whole block once (host work is serial)
+                    n_pad = -(-n // csize) * csize
+                    padded = []
+                    for x in arrays:
+                        if n_pad != n:
+                            fill = np.repeat(x[:1], n_pad - n, axis=0)
+                            if x is arrays[8]:  # valid mask: pads invalid
+                                fill = np.zeros(n_pad - n)
+                            x = np.concatenate([x, fill], axis=0)
+                        padded.append(x)
+                    try:
+                        for s in range(done, n_pad, csize):
+                            ch = [jnp.asarray(x[s:s + csize])
+                                  for x in padded]
+                            # compute args: aexp..B (0-5) + valid (8); the
+                            # molecule-shaped scatter takes cols/cols_t/
+                            # mirror; each (pair chunk, aux chunk) pair is
+                            # atomic — B3 and `done` advance together
+                            out, = kern(*ch[:6], ch[8], *bflat)
+                            B3 = scat(B3, ch[6], ch[7], ch[9], rows, out)
+                            done = min(s + csize, n)
+                        break
+                    except Exception as exc:
+                        # remote TPU compile helper can fail on very large
+                        # kernel working sets; back off to smaller chunks
+                        # (new csize divides old, so `done` stays
+                        # chunk-aligned).  Only compile/resource failures
+                        # are retryable — numerical or shape bugs must
+                        # surface.
+                        if (not _is_compile_or_resource_error(exc)
+                                or csize <= 32):
+                            raise
+                        csize //= 4
+                        import warnings
 
-                    warnings.warn(
-                        f"3-center kernel compile failed for class "
-                        f"(la={pblk.la},lb={pblk.lb}); retrying with chunk "
-                        f"{csize}", stacklevel=2)
+                        warnings.warn(
+                            f"3-center kernel compile failed for class "
+                            f"(la={pblk.la},lb={pblk.lb},lq={lq}); "
+                            f"retrying with chunk {csize}", stacklevel=2)
     if packed:
         B3 = B3.at[:, -1].set(0.0)  # trash column (screened-out scatter target)
         return np.asarray(B3)
