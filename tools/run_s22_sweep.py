@@ -94,12 +94,15 @@ with warnings.catch_warnings():
         basis.build(mol, spec.model["basis"]),
         basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", spec.model["basis"]),
     )
-# 1e-8/1e-6 is far tighter than the 1.5e-3 Eh golden gate and than the
-# reference's own DF CI (Constants.jl defaults dele=rmsd=1e-3), while
-# leaving headroom above the f64-emulation noise floor of the
-# barrier-less 3-center build (ops/mcmurchie.py barrier=False)
+# 1e-8/5e-6 is far tighter than the 1.5e-3 Eh golden gate and than the
+# reference's own DF CI (Constants.jl defaults dele=rmsd=1e-3).  The rmsd
+# gate sits above the TPU emulated-f64 noise floor: on-device DF SCF
+# deterministically limit-cycles at rmsd ~1e-6 (S03: 60 iters, E within
+# 2.6e-7 Eh of the true fixed point) while the identical run on CPU
+# reaches rmsd 1e-10 in 17 iterations — energy error from rmsd r is
+# O(r^2), irrelevant at the golden tolerance.
 res = rhf.energy(mol, bsets, {{"scf_type": "df", "niter": 60, "dele": 1e-8,
-                               "rmsd": 1e-6, "guess": "sad"}})
+                               "rmsd": 5e-6, "guess": "sad"}})
 print("RESULT:" + json.dumps({{
     "energy": res["Energy"], "converged": bool(res["Converged?"]),
     "iters": res["Iterations"],
