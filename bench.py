@@ -59,8 +59,46 @@ def _device_available(timeout_s: float = 240.0) -> bool:
         return False
 
 
+def _other_chip_users() -> list:
+    """PIDs of other processes that may hold the axon relay chip.
+
+    The relay chip is single-tenant in practice: two processes running ops
+    concurrently corrupt each other's device buffers (observed garbage SCF
+    energies ~1e14 and convergence stalls).  The driver's end-of-round bench
+    must therefore wait for any in-flight sweep/bench to finish."""
+    import os
+
+    skip = set()
+    pid = os.getpid()
+    while pid > 1:  # own ancestor chain (timeout/shell wrappers name bench.py)
+        skip.add(pid)
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                pid = int(next(l for l in f if l.startswith("PPid:")).split()[1])
+        except (OSError, StopIteration, ValueError):
+            break
+    pids = []
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) in skip:
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace")
+        except OSError:
+            continue
+        if "run_s22_sweep" in cmd or "bench.py" in cmd or "run_mp2_s22" in cmd:
+            pids.append(int(entry))
+    return pids
+
+
 def main():
     import os
+
+    deadline = time.time() + 3600.0
+    while _other_chip_users() and time.time() < deadline:
+        print(f"# waiting for other chip users {_other_chip_users()} "
+              "(single-tenant relay)", file=sys.stderr)
+        time.sleep(30.0)
 
     if not _device_available():
         # fall back to a reduced CPU run so the round still records a
