@@ -79,11 +79,26 @@ def test_checkpoint_rejects_wrong_system(mol, tmp_path_factory):
 
 
 def test_basis_lookup_casefold_and_warnings():
+    import warnings as _warnings
+
     from juliachem_jl_tpu.basis import library
 
     assert library.lookup("O", "cc-pvdz") == library.lookup("O", "cc-pVDZ")
-    with pytest.warns(UserWarning, match="unverified"):
+    # every bundled table is now verified (see __meta__.verification_notes;
+    # F 6-31G family validated against Szabo-Ostlund / CCCBDB goldens), so
+    # lookups must be warning-free...
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error")
         library.lookup("F", "6-31G")
+    # ...while the quality-warning machinery itself stays armed for any
+    # future flagged entry
+    meta = library._library().setdefault("__meta__", {})
+    meta.setdefault("unverified_vs_goldens", []).append(["6-31G", "F"])
+    try:
+        with pytest.warns(UserWarning, match="unverified"):
+            library.lookup("F", "6-31G")
+    finally:
+        meta["unverified_vs_goldens"].remove(["6-31G", "F"])
 
 
 def test_sad_guess(mol):
