@@ -158,6 +158,7 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         "Energy Elec": state.energy_elec,
         "E Nuc": e_nuc,
         "Converged?": converged,
+        "Stagnated": state.stagnated,
         "Iterations": state.iteration,
         "Timings": timings,
     }

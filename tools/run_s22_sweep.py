@@ -103,9 +103,15 @@ with warnings.catch_warnings():
 # O(r^2), irrelevant at the golden tolerance.
 res = rhf.energy(mol, bsets, {{"scf_type": "df", "niter": 60, "dele": 1e-8,
                                "rmsd": 5e-6, "guess": "sad"}})
+from juliachem_jl_tpu.utils.timings import JCTC
+_t = res["Timings"].timings
 print("RESULT:" + json.dumps({{
     "energy": res["Energy"], "converged": bool(res["Converged?"]),
+    "stagnated": bool(res.get("Stagnated")),
     "iters": res["Iterations"],
+    "setup_s": {{k: round(_t.get(k, 0.0), 1) for k in
+                 (JCTC.two_center_time, JCTC.three_center_time, JCTC.B_time,
+                  JCTC.screening_time, JCTC.H_time, JCTC.guess_time)}},
 }}))
 """
 
