@@ -34,7 +34,13 @@ import numpy as np
 # 1e-8 Eh (no reference wall-time exists for it — BASELINE.md table — so the
 # metric is recorded without a vs_baseline scaling).
 W50 = len(sys.argv) > 1 and sys.argv[1] == "w50"
-NW = int(sys.argv[1]) if len(sys.argv) > 1 and not W50 else 16
+NW = (int(sys.argv[1])
+      if len(sys.argv) > 1 and not W50 and sys.argv[1].isdigit() else 16)
+# "conv": run the conventional screened-direct path instead of DF.  For the
+# NW=64 (w7.6) north-star this is the same-algorithm comparison: the
+# reference's 2316 s Skylake number is conventional direct SCF, and at w64
+# the packed B tensor (~40-70 GB) cannot stream through the relay anyway.
+CONV = "conv" in sys.argv[1:]
 REF_SECONDS_PER_ITER_W64 = 2316.0 / 33.0
 
 
@@ -138,8 +144,8 @@ def main():
         primary_name = "6-31+G*"
         # convergence matches the reference w7.6 benchmark's own keywords
         # (example_inputs/Water/7_6/water_7.6.json: dele=1.0, rmsd=2e-5)
-        scf_flags = {"scf_type": "df", "niter": 50, "dele": 1.0,
-                     "rmsd": 2e-5, "guess": "sad"}
+        scf_flags = {"scf_type": "rhf" if CONV else "df", "niter": 50,
+                     "dele": 1.0, "rmsd": 2e-5, "guess": "sad"}
     import warnings
 
     with warnings.catch_warnings():
@@ -206,6 +212,9 @@ def main():
             "value": round(total, 1),
             "unit": "s",
             "vs_baseline": round(2316.0 / total, 3),
+            "algorithm": ("conventional-direct" if CONV else "df"),
+            "iterations": res["Iterations"],
+            "converged": bool(res["Converged?"]),
         }
     else:
         ref_scaled = REF_SECONDS_PER_ITER_W64 * (NW / 64.0) ** 2

@@ -62,6 +62,45 @@ def two_center_metric(aux: Basis) -> np.ndarray:
     return out
 
 
+# Learned pair-chunk caps, persisted across processes: when a compute-kernel
+# launch fails with a compile/resource error, the retry loop shrinks the
+# chunk — remembering the working size here means later runs (every S22
+# system, every bench) go straight to it instead of re-paying the failed
+# remote-relay compile attempts (30-300 s each) once per process.
+_CSIZE_CACHE_PATH = None  # resolved lazily (honors $HOME at call time)
+_csize_data: dict | None = None
+
+
+def _csize_cache() -> dict:
+    global _csize_data, _CSIZE_CACHE_PATH
+    if _csize_data is None:
+        import json
+        import os
+
+        _CSIZE_CACHE_PATH = os.path.join(
+            os.path.expanduser("~"), ".cache", "jchem_xla", "csize3c.json")
+        try:
+            with open(_CSIZE_CACHE_PATH) as f:
+                _csize_data = {k: int(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            _csize_data = {}
+    return _csize_data
+
+
+def _csize_cache_update(key: str, csize: int) -> None:
+    import json
+    import os
+
+    d = _csize_cache()
+    d[key] = min(int(csize), d.get(key, 1 << 30))
+    try:
+        os.makedirs(os.path.dirname(_CSIZE_CACHE_PATH), exist_ok=True)
+        with open(_CSIZE_CACHE_PATH, "w") as f:
+            json.dump(d, f)
+    except OSError:
+        pass
+
+
 @lru_cache(maxsize=None)
 def _threecenter_compute_kernel(la: int, lb: int, Ka: int, Kb: int,
                                 aux_meta: tuple):
@@ -254,11 +293,25 @@ def three_center_tensor(
                 pblk.la, pblk.lb, pblk.aexp.shape[1], pblk.bexp.shape[1],
                 (meta,))
             scat = _threecenter_scatter_kernel(1)
-            w = Kq * nq_pad * _nherm(pblk.la + pblk.lb + lq)
+            # per-pair-row, per-primitive-pair working set: the largest of
+            # the R tensor [NQ,Kq,nherm(L)], its comb-expanded gather M
+            # [NQ,Kq,nherm(Lb),nherm(lq)] and the T1 einsum intermediate
+            # [nherm(Lb),NQ,ncart(lq)] — sizing on R alone under-counted by
+            # the comb expansion factor and RESOURCE_EXHAUSTed high-L aux
+            # classes (observed: (la=0,lb=2,lq=4), 2 failed relay compiles
+            # per process before the retry loop landed on a working chunk)
+            Lb2 = pblk.la + pblk.lb
+            w = nq_pad * max(Kq * _nherm(Lb2 + lq),
+                             Kq * _nherm(Lb2) * _nherm(lq),
+                             _nherm(Lb2) * ncart(lq))
             csize = int(BUDGET / max(k2b * w, 1))
             csize = max(CSIZE_MIN, min(chunk, csize))
             # round to power-of-two bucket to bound compile variants
             csize = 1 << (csize.bit_length() - 1)
+            ck = (f"{jax.default_backend()}:{pblk.la},{pblk.lb},"
+                  f"{pblk.aexp.shape[1]},{pblk.bexp.shape[1]},"
+                  f"{lq},{Kq},{nq_pad}")
+            csize = min(csize, _csize_cache().get(ck, csize))
 
             for ci in cis:
                 bflat = qflat[4 * ci: 4 * ci + 3]
@@ -298,6 +351,7 @@ def three_center_tensor(
                                 or csize <= 32):
                             raise
                         csize //= 4
+                        _csize_cache_update(ck, csize)
                         import warnings
 
                         warnings.warn(
