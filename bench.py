@@ -93,6 +93,16 @@ def _other_chip_users() -> list:
         except OSError:
             continue
         if "run_s22_sweep" in cmd or "bench.py" in cmd or "run_mp2_s22" in cmd:
+            # CPU-backend runs (launched with PALLAS_AXON_POOL_IPS unset so
+            # the axon sitecustomize never dials the relay) hold no chip
+            # claim and can run concurrently with on-device work
+            try:
+                with open(f"/proc/{entry}/environ", "rb") as f:
+                    environ = f.read()
+                if b"PALLAS_AXON_POOL_IPS=" not in environ:
+                    continue
+            except OSError:
+                pass
             pids.append(int(entry))
     return pids
 

@@ -142,6 +142,7 @@ def main():
     n = 22
     modes = ["conv", "df"]
     by_size = False
+    reverse = False
     timeout = 7200
     df_guess = False
     for arg in sys.argv[1:]:
@@ -151,6 +152,9 @@ def main():
             modes = ["conv"]
         elif arg == "--order=size":
             by_size = True
+        elif arg == "--order=rsize":
+            by_size = True
+            reverse = True
         elif arg.startswith("--timeout="):
             timeout = int(arg.split("=", 1)[1])
         elif arg == "--df-guess":
@@ -178,7 +182,7 @@ def main():
             with open(f"{REF}/example_inputs/S22/{i:02d}_MP2.json") as f:
                 text = re.sub(r",\s*([}\]])", r"\1", f.read())  # trailing commas
             return len(json.loads(text)["molecule"]["symbols"])
-        order.sort(key=natoms)
+        order.sort(key=natoms, reverse=reverse)
 
     for imol in order:
         g = golden[str(imol)]
