@@ -141,8 +141,8 @@ def main():
         spec = io.read_input("/root/reference/example_inputs/w50.json")
         mol = molecule.from_input_dict(spec.molecule)
         primary_name = "cc-pVDZ"
-        scf_flags = {"scf_type": "df", "niter": 60, "dele": 1e-8,
-                     "rmsd": 1e-6, "guess": "sad"}
+        scf_flags = {"scf_type": "rhf" if CONV else "df", "niter": 60,
+                     "dele": 1e-8, "rmsd": 1e-6, "guess": "sad"}
     else:
         spec = io.read_input(
             "/root/reference/example_inputs/Water/7_6/water_7.6.json")
@@ -205,7 +205,8 @@ def main():
         # (BASELINE.md: w50 goldens/logs absent from the snapshot) -> record
         # the absolute number; vs_baseline deliberately null
         out = {
-            "metric": "df_rhf_w50_ccpvdz_time_to_1e-8_s",
+            "metric": (("rhf" if CONV else "df_rhf")
+                       + "_w50_ccpvdz_time_to_1e-8_s"),
             "value": round(total, 1),
             "unit": "s",
             "vs_baseline": None,
