@@ -255,6 +255,7 @@ def three_center_tensor(
 
     BUDGET = 1.2e8   # R-tensor working-set elements per kernel launch
     CSIZE_MIN = 64   # smallest useful pair chunk when sizing buckets
+    n_launched = 0   # backpressure counter (see the block_until_ready below)
 
     for pblk in pair_blocks:
         if pblk.n == 0:
@@ -339,6 +340,17 @@ def three_center_tensor(
                             out, = kern(*ch[:6], ch[8], *bflat)
                             B3 = scat(B3, ch[6], ch[7], ch[9], rows, out)
                             done = min(s + csize, n)
+                            # backpressure: the B3 scatter chain serializes
+                            # EXECUTION, but dispatch is async — without a
+                            # periodic sync every pending launch's output
+                            # block ([csize, nab, NQ, ncq] f64, hundreds of
+                            # MB for f-shell classes) sits in HBM at once.
+                            # Observed: S22 S01 (dense B only 0.08 GB, but
+                            # 826 uncontracted AutoAux shells => many
+                            # launches) RESOURCE_EXHAUSTED a 16 GB chip.
+                            n_launched += 1
+                            if n_launched % 4 == 0:
+                                B3.block_until_ready()
                         break
                     except Exception as exc:
                         # remote TPU compile helper can fail on very large
