@@ -133,9 +133,10 @@ def run_one(code: str, timeout: int = 7200) -> dict:
         if line.startswith("RESULT:"):
             out = json.loads(line[len("RESULT:"):])
             out["wall_s"] = round(dt, 1)
+            out["ts"] = round(time.time(), 1)
             return out
     return {"error": proc.stderr[-800:], "rc": proc.returncode,
-            "wall_s": round(dt, 1)}
+            "wall_s": round(dt, 1), "ts": round(time.time(), 1)}
 
 
 def main():
@@ -231,8 +232,16 @@ def main():
                 for k, v in on_disk.items():
                     results.setdefault(k, {})
                     for m, r in v.items():
-                        if m not in results[k] or (
-                                r.get("pass") and not results[k][m].get("pass")):
+                        mine = results[k].get(m)
+                        # adopt the disk record when it is new here, when it
+                        # is a pass and ours is not, or when BOTH are
+                        # failures and the disk one is more recent (a
+                        # concurrent sweep's fresher attempt must not be
+                        # clobbered by our stale in-memory copy)
+                        if (mine is None
+                                or (r.get("pass") and not mine.get("pass"))
+                                or (not r.get("pass") and not mine.get("pass")
+                                    and r.get("ts", 0) > mine.get("ts", 0))):
                             results[k][m] = r
             with open(path, "w") as f:
                 json.dump(results, f, indent=1)
