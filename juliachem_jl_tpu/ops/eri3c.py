@@ -255,7 +255,17 @@ def three_center_tensor(
 
     BUDGET = 1.2e8   # R-tensor working-set elements per kernel launch
     CSIZE_MIN = 64   # smallest useful pair chunk when sizing buckets
-    n_launched = 0   # backpressure counter (see the block_until_ready below)
+    n_launched = 0   # telemetry counter
+    # Backpressure budget: total ESTIMATED working-set elements allowed in
+    # flight before a block_until_ready.  A fixed every-N-launches sync
+    # (the previous scheme) let N max-size launches (~1 GB estimated each,
+    # and XLA's true footprint runs 2-3x the estimate) pile up in HBM —
+    # observed RESOURCE_EXHAUSTED on a 16 GB chip even for S22 S08, whose
+    # B tensor is only 60 MB.  Budgeting on bytes syncs big launches
+    # almost immediately while still batching many small ones.
+    inflight_budget = float(os.environ.get("JCHEM_3C_INFLIGHT", 2.4e8))
+    inflight = 0.0
+    memlog = os.environ.get("JCHEM_3C_MEMLOG") == "1"
 
     for pblk in pair_blocks:
         if pblk.n == 0:
@@ -317,7 +327,8 @@ def three_center_tensor(
             for ci in cis:
                 bflat = qflat[4 * ci: 4 * ci + 3]
                 rows = qflat[4 * ci + 3]
-                done = 0  # pair rows already scattered (restart-safe)
+                done = 0    # pair rows confirmed-on-device (sync-aligned)
+                B3_ck = B3  # checkpoint: B3 value proven valid at `done`
                 while done < n:
                     # pre-pad the whole block once (host work is serial)
                     n_pad = -(-n // csize) * csize
@@ -335,30 +346,58 @@ def three_center_tensor(
                                   for x in padded]
                             # compute args: aexp..B (0-5) + valid (8); the
                             # molecule-shaped scatter takes cols/cols_t/
-                            # mirror; each (pair chunk, aux chunk) pair is
-                            # atomic — B3 and `done` advance together
+                            # mirror
                             out, = kern(*ch[:6], ch[8], *bflat)
                             B3 = scat(B3, ch[6], ch[7], ch[9], rows, out)
-                            done = min(s + csize, n)
                             # backpressure: the B3 scatter chain serializes
                             # EXECUTION, but dispatch is async — without a
-                            # periodic sync every pending launch's output
-                            # block ([csize, nab, NQ, ncq] f64, hundreds of
-                            # MB for f-shell classes) sits in HBM at once.
+                            # periodic sync every pending launch's working
+                            # set (R/comb temporaries + the output block
+                            # [csize, nab, NQ, ncq] f64, ~1 GB estimated
+                            # for f-shell classes) sits in HBM at once.
                             # Observed: S22 S01 (dense B only 0.08 GB, but
                             # 826 uncontracted AutoAux shells => many
-                            # launches) RESOURCE_EXHAUSTED a 16 GB chip.
+                            # launches) RESOURCE_EXHAUSTED a 16 GB chip,
+                            # and S08 (real JKFIT, B = 60 MB) did too with
+                            # a fixed every-4-launches sync.
+                            # `done` and the B3 checkpoint only advance at
+                            # a SUCCESSFUL sync: an async exec failure
+                            # (e.g. OOM) poisons every B3 derived from the
+                            # failed launch, so the retry below must
+                            # restart from a value proven materialized.
                             n_launched += 1
-                            if n_launched % 4 == 0:
+                            inflight += min(csize, n - s) * k2b * w
+                            if inflight >= inflight_budget:
                                 B3.block_until_ready()
+                                inflight = 0.0
+                                done = min(s + csize, n)
+                                B3_ck = B3
+                                if memlog:
+                                    st = jax.devices()[0].memory_stats() or {}
+                                    print(f"# 3c launch {n_launched} class "
+                                          f"({pblk.la},{pblk.lb},{lq}) "
+                                          f"csize={csize} hbm="
+                                          f"{st.get('bytes_in_use', -1)/1e9:.2f}GB "
+                                          f"peak={st.get('peak_bytes_in_use', -1)/1e9:.2f}GB",
+                                          flush=True)
+                        # settle the tail launches of this class so any
+                        # deferred async error is caught by the retry here
+                        # (not at the final np.asarray, where `done` is
+                        # untracked and nothing can back off)
+                        B3.block_until_ready()
+                        inflight = 0.0
+                        done = n
+                        B3_ck = B3
                         break
                     except Exception as exc:
+                        B3 = B3_ck  # drop launches past the checkpoint
                         # remote TPU compile helper can fail on very large
                         # kernel working sets; back off to smaller chunks
                         # (new csize divides old, so `done` stays
                         # chunk-aligned).  Only compile/resource failures
                         # are retryable — numerical or shape bugs must
                         # surface.
+                        inflight = 0.0  # pending chain dropped with B3_ck
                         if (not _is_compile_or_resource_error(exc)
                                 or csize <= 32):
                             raise
