@@ -366,7 +366,8 @@ def three_center_tensor(
                             # failed launch, so the retry below must
                             # restart from a value proven materialized.
                             n_launched += 1
-                            inflight += min(csize, n - s) * k2b * w
+                            # padded launches always compute csize rows
+                            inflight += csize * k2b * w
                             if inflight >= inflight_budget:
                                 B3.block_until_ready()
                                 inflight = 0.0
