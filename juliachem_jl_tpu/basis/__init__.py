@@ -15,10 +15,16 @@ _LMAP = {"S": 0, "P": 1, "D": 2, "F": 3, "G": 4}
 
 @dataclass
 class CalculationBasisSets:
-    """Primary + optional auxiliary basis (reference BasisStructs.jl:182-185)."""
+    """Primary + optional auxiliary basis (reference BasisStructs.jl:182-185).
+
+    spherical=True requests the real-solid-harmonic AO basis: integrals stay
+    Cartesian (the reference convention, and what the MD kernels produce)
+    and the SCF runs in the transformed 2l+1 space (basis/spherical.py).
+    The reference has no spherical option — this exceeds it."""
 
     primary: Basis
     auxiliary: Basis | None = None
+    spherical: bool = False
 
 
 def _shells_for_atom(atom_idx: int, center: np.ndarray, spec: list[dict]) -> list[Shell]:
@@ -105,7 +111,8 @@ def run(mol, model: dict, output: int = 0) -> CalculationBasisSets:
         if aux is not None:
             print("--- auxiliary ---")
             print_basis(aux)
-    return CalculationBasisSets(primary=primary, auxiliary=aux)
+    return CalculationBasisSets(primary=primary, auxiliary=aux,
+                                spherical=bool(model.get("spherical")))
 
 
 def print_basis(basis: Basis, printer=print) -> None:

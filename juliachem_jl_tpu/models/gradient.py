@@ -80,6 +80,11 @@ def total_gradient_uhf(mol, basis, uhf_result, aux=None) -> np.ndarray:
     Db = Cb[:, :nb] @ Cb[:, :nb].T
     W = ((Ca[:, :na] * ea[:na][None, :]) @ Ca[:, :na].T
          + (Cb[:, :nb] * eb[:nb][None, :]) @ Cb[:, :nb].T)
+    Tsph = uhf_result.get("Spherical Transform")
+    if Tsph is not None:
+        # geometry-independent transform: contract the Cartesian derivative
+        # integrals with the back-transformed spin densities / Pulay weight
+        Da, Db, W = (Tsph @ M @ Tsph.T for M in (Da, Db, W))
     if aux is None:
         g2 = two_electron_gradient(basis, mol, Da + Db,
                                    spin_densities=(Da, Db))
@@ -115,6 +120,9 @@ def total_gradient_rohf(mol, basis, rohf_result, aux=None) -> np.ndarray:
     for Ds, Fs in ((Da, Fa), (Db, Fb)):
         X = np.linalg.solve(S, Fs @ Ds)          # S^-1 F_s D_s
         W += 0.5 * (X + X.T)
+    Tsph = rohf_result.get("Spherical Transform")
+    if Tsph is not None:
+        Da, Db, W = (Tsph @ M @ Tsph.T for M in (Da, Db, W))
     if aux is None:
         g2 = two_electron_gradient(basis, mol, Da + Db,
                                    spin_densities=(Da, Db))
@@ -164,9 +172,14 @@ def run(mol, basis_sets, scf_flags=None, output: int = 0,
         res = rhf.energy(mol, basis_sets, flags, output=output)
         if not res.get("Converged?"):
             raise RuntimeError("gradient requested on an unconverged SCF")
+        D, W = np.asarray(res["Density"]), np.asarray(res["W"])
+        Tsph = res.get("Spherical Transform")
+        if Tsph is not None:
+            # dT/dR = 0, so the spherical gradient is exactly the Cartesian
+            # assembly contracted with the back-transformed D and W
+            D, W = Tsph @ D @ Tsph.T, Tsph @ W @ Tsph.T
         grad = total_gradient(
-            mol, basis_sets.primary, np.asarray(res["Density"]),
-            np.asarray(res["W"]),
+            mol, basis_sets.primary, D, W,
             aux=basis_sets.auxiliary if use_df else None)
     if output >= 2:
         print(f"{method.upper()} nuclear gradient (Eh/bohr):")

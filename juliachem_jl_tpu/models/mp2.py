@@ -22,6 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
+def _cart_mo(result, C: np.ndarray) -> np.ndarray:
+    """MO coefficients over the CARTESIAN AO rows: spherical-harmonic runs
+    (rhf.py 'Spherical Transform') store C over the 2l+1 spherical AOs,
+    while the B tensors here are built from the Cartesian MD kernels —
+    C_cart = T C_sph spans the identical MO space, so E2 is exact."""
+    T = result.get("Spherical Transform")
+    return np.asarray(T) @ C if T is not None else C
+
+
 @jax.jit
 def _mo_b(B, Cocc, Cvirt):
     """B_ia^Q: [A, nocc, nvirt]."""
@@ -116,7 +125,7 @@ def ri_mp2_energy_sharded(rhf_result, basis_sets, n_devices: int,
     B_sh, screen, A_pad, qc, n_chunks = build_B_packed_sharded(
         primary, basis_sets.auxiliary, mesh, opts)
 
-    C = np.asarray(rhf_result["MO Coeff"])
+    C = _cart_mo(rhf_result, np.asarray(rhf_result["MO Coeff"]))
     eps = np.asarray(rhf_result["MO Energies"])
     nocc = int(primary.nels // 2)
     nbf = primary.nbf
@@ -205,6 +214,8 @@ def ri_ump2_energy(uhf_result, basis_sets, B=None, opts=None) -> dict:
                     if "MO Coeff Alpha" in uhf_result
                     else uhf_result["MO Coeff"])
     Cb = np.asarray(uhf_result.get("MO Coeff Beta", Ca))
+    Ca = _cart_mo(uhf_result, Ca)
+    Cb = _cart_mo(uhf_result, Cb)
     ea = np.asarray(uhf_result["MO Energies Alpha"]
                     if "MO Energies Alpha" in uhf_result
                     else uhf_result["MO Energies"])
@@ -252,7 +263,7 @@ def ri_mp2_energy(rhf_result, basis_sets, mol=None, B=None, opts=None,
         B = build_B(primary, aux, opts)
     B = jnp.asarray(B)
 
-    C = np.asarray(rhf_result["MO Coeff"])
+    C = _cart_mo(rhf_result, np.asarray(rhf_result["MO Coeff"]))
     eps = np.asarray(rhf_result["MO Energies"])
     nocc = int(primary.nels // 2)
     Cocc, Cvirt = C[:, :nocc], C[:, nocc:]

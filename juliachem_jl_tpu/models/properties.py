@@ -21,13 +21,23 @@ def mo_energies(result) -> dict:
             "homo_lumo": float(lumo - homo)}
 
 
+def _bf_to_atom(basis, result) -> np.ndarray:
+    """Per-bf atom map in the run's computational basis (spherical runs
+    carry fewer functions per shell than the Cartesian compiled basis)."""
+    if result.get("Spherical Transform") is not None:
+        from ..basis.spherical import sph_bf_to_atom
+
+        return sph_bf_to_atom(basis)
+    return basis.bf_to_atom()
+
+
 def mulliken_populations(mol, basis, result) -> np.ndarray:
     """Per-atom Mulliken populations from (D * S) block sums
     (Mulliken.jl:3-60)."""
     D = np.asarray(result["Density"])
     S = np.asarray(result["Overlap"])
     ds = D * S
-    bf_atom = basis.bf_to_atom()
+    bf_atom = _bf_to_atom(basis, result)
     pops = np.zeros(mol.natom)
     np.add.at(pops, bf_atom, ds.sum(axis=1))
     return pops
@@ -46,7 +56,7 @@ def lowdin_populations(mol, basis, result) -> np.ndarray:
     w, U = np.linalg.eigh(S)
     S_half = (U * np.sqrt(np.maximum(w, 0.0))[None, :]) @ U.T
     diag = np.einsum("pq,qr,rp->p", S_half, D, S_half)
-    bf_atom = basis.bf_to_atom()
+    bf_atom = _bf_to_atom(basis, result)
     pops = np.zeros(mol.natom)
     np.add.at(pops, bf_atom, diag)
     return pops
@@ -57,6 +67,11 @@ def dipole_moment(mol, basis, result) -> dict:
     from ..ops.oei import dipole_matrices
 
     D = np.asarray(result["Density"])
+    T = result.get("Spherical Transform")
+    if T is not None:
+        # tr(D_s T^T M T) = tr((T D_s T^T) M): map the spherical density to
+        # Cartesian once and reuse the Cartesian dipole integrals
+        D = T @ D @ T.T
     mx, my, mz = dipole_matrices(basis, origin=np.zeros(3))
     el = -np.array([np.sum(D * mx), np.sum(D * my), np.sum(D * mz)])
     nuc = (np.asarray(mol.z, dtype=float)[:, None] * mol.coords).sum(axis=0)
@@ -97,7 +112,9 @@ def run(mol, basis_sets, rhf_result, prop_keywords: dict | None = None, output: 
             # open-shell (UHF/ROHF): per-atom spin populations from the
             # spin-density Mulliken sums (alpha minus beta)
             spin_res = {"Density": rhf_result["Spin Density"],
-                        "Overlap": rhf_result["Overlap"]}
+                        "Overlap": rhf_result["Overlap"],
+                        "Spherical Transform":
+                            rhf_result.get("Spherical Transform")}
             out["Mulliken Spin Population"] = mulliken_populations(
                 mol, basis, spin_res)
             if output >= 1:

@@ -87,13 +87,22 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
     if output >= 1:
         print_scf_options(opts)
 
+    sph_T = None
+    if getattr(basis_sets, "spherical", False):
+        from ..basis.spherical import cart_to_sph_basis
+
+        sph_T = cart_to_sph_basis(primary)
+
     e_nuc = mol.nuclear_repulsion()
     fingerprint = scf_mod.system_fingerprint(mol, primary)
+    if sph_T is not None:
+        fingerprint = "sph:" + fingerprint
     restart_path = scf_flags.get("restart")
     if restart_path:
         state = scf_mod.load_checkpoint(restart_path, fingerprint, e_nuc)
     else:
-        state = scf_mod.initial_state(mol, primary, opts, timings, output)
+        state = scf_mod.initial_state(mol, primary, opts, timings, output,
+                                      sph_T=sph_T)
     checkpoint_path = scf_flags.get("checkpoint")
 
     use_df = opts.scf_type == C.SCFType.density_fitting
@@ -101,6 +110,8 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
 
     fock_builder = _make_fock_builder(
         basis_sets, opts, prefer_df=use_df or df_guess, timings=timings)
+    if sph_T is not None:
+        fock_builder = scf_mod.SphericalFockAdapter(fock_builder, sph_T)
 
     if df_guess and not use_df:
         # DF warm-up phase, then conventional iterations (SCF.jl:527-550)
@@ -112,6 +123,8 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         )
         fock_builder.finalize()
         fock_builder = _make_fock_builder(basis_sets, opts, prefer_df=False)
+        if sph_T is not None:
+            fock_builder = scf_mod.SphericalFockAdapter(fock_builder, sph_T)
 
     converged = scf_mod.scf_loop(
         state, fock_builder, opts, timings, e_nuc, output,
@@ -161,4 +174,8 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         "Stagnated": state.stagnated,
         "Iterations": state.iteration,
         "Timings": timings,
+        # present only for spherical-harmonic runs: [nbf_cart, nbf_sph];
+        # every matrix above is in the spherical (computational) basis, and
+        # downstream consumers (properties, MP2, gradients) map through T
+        "Spherical Transform": sph_T,
     }

@@ -53,10 +53,20 @@ def energy(mol, basis_sets, scf_flags: dict | None = None,
     with timings.timed(JCTC.H_time):
         S, T, V = overlap_kinetic_nuclear(primary, mol)
     H = T + V
+    sph_T = None
+    if getattr(basis_sets, "spherical", False):
+        from ..basis.spherical import cart_to_sph_basis
+        from .scf import SphericalFockAdapter
+
+        sph_T = cart_to_sph_basis(primary)
+        H = sph_T.T @ H @ sph_T
+        S = sph_T.T @ S @ sph_T
     X = linalg.orthogonalizer(S)
 
     use_df = opts.scf_type == C.SCFType.density_fitting
     builder = _make_jk_builder(basis_sets, opts, use_df, timings)
+    if sph_T is not None:
+        builder = SphericalFockAdapter(builder, sph_T)
 
     # initial orbitals from the core Hamiltonian (single shared set)
     with timings.timed(JCTC.guess_time):
@@ -189,6 +199,7 @@ def energy(mol, basis_sets, scf_flags: dict | None = None,
         "Converged?": converged,
         "Iterations": it,
         "Timings": timings,
+        "Spherical Transform": sph_T,
     }
 
 

@@ -62,6 +62,37 @@ class FockBuilder:
         pass
 
 
+class SphericalFockAdapter(FockBuilder):
+    """Wrap any Cartesian Fock builder for a spherical-harmonic SCF:
+    G_s(D_s) = T^T G_c(T D_s T^T) T with the geometry-independent
+    block transform T (basis/spherical.py).  G is linear in D, so the
+    wrapped builder's screening/DF machinery applies unchanged; the two
+    projections are small dense matmuls XLA fuses into the build."""
+
+    def __init__(self, inner: FockBuilder, T: np.ndarray):
+        self.inner = inner
+        self.T = np.asarray(T)
+        self.supports_f32_phase = getattr(inner, "supports_f32_phase", False)
+
+    def two_electron_fock(self, D, iteration, timings, C_occ=None, **kw):
+        Dc = self.T @ D @ self.T.T
+        Cc = self.T @ C_occ if C_occ is not None else None
+        Fc = self.inner.two_electron_fock(Dc, iteration, timings, Cc, **kw)
+        return self.T.T @ np.asarray(Fc) @ self.T
+
+    def two_electron_jk(self, Da, Db, iteration, timings, Ca=None, Cb=None):
+        T = self.T
+        J, Ka, Kb = self.inner.two_electron_jk(
+            T @ Da @ T.T, T @ Db @ T.T, iteration, timings,
+            T @ Ca if Ca is not None else None,
+            T @ Cb if Cb is not None else None)
+        return (T.T @ np.asarray(J) @ T, T.T @ np.asarray(Ka) @ T,
+                T.T @ np.asarray(Kb) @ T)
+
+    def finalize(self):
+        self.inner.finalize()
+
+
 def _device_bytes_in_use():
     """Live HBM bytes on device 0, or None where the backend has no
     allocator stats (CPU)."""
@@ -329,11 +360,21 @@ def energy_weighted_density(state: SCFState) -> np.ndarray:
     return 2.0 * (Cocc * state.eps[: state.nocc][None, :]) @ Cocc.T
 
 
-def initial_state(mol, basis, opts: SCFOptions, timings: Timings, output: int = 0) -> SCFState:
-    """Hamiltonian core pieces + orthogonalizer + guess density."""
+def initial_state(mol, basis, opts: SCFOptions, timings: Timings, output: int = 0,
+                  sph_T: np.ndarray | None = None) -> SCFState:
+    """Hamiltonian core pieces + orthogonalizer + guess density.
+
+    sph_T (optional [nbf_cart, nbf_sph], basis/spherical.py) switches the
+    SCF to the real-solid-harmonic basis: the Cartesian one-electron
+    matrices are built as usual and projected once — the integral engine
+    never changes."""
     with timings.timed(JCTC.H_time):
         S, T, V = overlap_kinetic_nuclear(basis, mol)
     H = T + V
+    S_cart = S
+    if sph_T is not None:
+        H = sph_T.T @ H @ sph_T
+        S = sph_T.T @ S @ sph_T
     X = linalg.orthogonalizer(S)
     debug = None
     if opts.debug:
@@ -354,7 +395,14 @@ def initial_state(mol, basis, opts: SCFOptions, timings: Timings, output: int = 
         if opts.guess == C.Guess.sad:
             from .guess import sad_guess
 
-            state.D = sad_guess(mol, basis)
+            D = sad_guess(mol, basis)
+            if sph_T is not None:
+                # metric projection of the Cartesian SAD density onto the
+                # spherical span: D_s = Q D_c Q^T, Q = S_s^-1 T^T S_c.
+                # Only a guess — trace/idempotency need not be exact.
+                Q = np.linalg.solve(S, sph_T.T @ S_cart)
+                D = Q @ D @ Q.T
+            state.D = D
             state.F = None
         else:  # hcore guess (F = H): SCF.jl:107-117
             eps, Cmo, D = linalg.roothaan_step(H, X, nocc)

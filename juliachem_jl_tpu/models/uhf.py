@@ -95,10 +95,21 @@ def energy(mol, basis_sets, scf_flags: dict | None = None,
     with timings.timed(JCTC.H_time):
         S, T, V = overlap_kinetic_nuclear(primary, mol)
     H = T + V
+    sph_T = None
+    if getattr(basis_sets, "spherical", False):
+        from ..basis.spherical import cart_to_sph_basis
+        from .scf import SphericalFockAdapter
+
+        sph_T = cart_to_sph_basis(primary)
+        S_cart = S
+        H = sph_T.T @ H @ sph_T
+        S = sph_T.T @ S @ sph_T
     X = linalg.orthogonalizer(S)
 
     use_df = opts.scf_type == C.SCFType.density_fitting
     builder = _make_jk_builder(basis_sets, opts, use_df, timings)
+    if sph_T is not None:
+        builder = SphericalFockAdapter(builder, sph_T)
 
     # --- initial guess -----------------------------------------------------
     Ca = Cb = None
@@ -107,6 +118,9 @@ def energy(mol, basis_sets, scf_flags: dict | None = None,
             from .guess import sad_guess
 
             Dt = sad_guess(mol, primary)       # factor-2 total density
+            if sph_T is not None:
+                Q = np.linalg.solve(S, sph_T.T @ S_cart)
+                Dt = Q @ Dt @ Q.T
             Da = Db = 0.5 * Dt
         else:  # hcore
             _, Ca, Da = _spin_step(H, X, na)
@@ -249,6 +263,7 @@ def energy(mol, basis_sets, scf_flags: dict | None = None,
         "Converged?": converged,
         "Iterations": it,
         "Timings": timings,
+        "Spherical Transform": sph_T,
     }
 
 
