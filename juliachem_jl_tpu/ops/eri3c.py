@@ -315,7 +315,20 @@ def three_center_tensor(
             w = nq_pad * max(Kq * _nherm(Lb2 + lq),
                              Kq * _nherm(Lb2) * _nherm(lq),
                              _nherm(Lb2) * ncart(lq))
-            csize = int(BUDGET / max(k2b * w, 1))
+            # Empirical relay-measured budget (2026-08-18 probes): the
+            # L=10 class (3,3|g) executes cleanly at an estimated working
+            # set of 4.8e7 elements (csize 256, 3 reps + transfer) but at
+            # 9.6e7 (csize 512) the execution exhausts the 16 GB chip —
+            # and block_until_ready on the axon relay does NOT surface the
+            # async failure (it reports success; the error deferred to the
+            # next transfer RPC, S22 S01/S08 fails), so the runtime retry
+            # CANNOT catch this.  The true XLA:TPU emulated-f64 temp
+            # multiplicity evidently grows steeply with total L; classes
+            # at L >= 10 get a proactively shrunk budget.  L <= 9 keeps
+            # the full budget (proven: (2,3|g) L=9 at 6.9e7 and every
+            # w16 class at L <= 8).
+            budget = BUDGET if (Lb2 + lq) < 10 else 5.0e7
+            csize = int(budget / max(k2b * w, 1))
             csize = max(CSIZE_MIN, min(chunk, csize))
             # round to power-of-two bucket to bound compile variants
             csize = 1 << (csize.bit_length() - 1)
@@ -410,10 +423,64 @@ def three_center_tensor(
                             f"3-center kernel compile failed for class "
                             f"(la={pblk.la},lb={pblk.lb},lq={lq}); "
                             f"retrying with chunk {csize}", stacklevel=2)
+            # Unload this kernel's device executables: each compiled
+            # variant is a 45-85 MB TPU program, and a rich-shell system
+            # visits O(pair classes x aux groups) = 100+ variants (plus
+            # csize-retry shapes).  Keeping them all loaded for the whole
+            # build exhausts HBM with PROGRAM memory — the residual
+            # RESOURCE_EXHAUSTED at the final transfer on S22 S01/S08
+            # after launch backpressure had already bounded data buffers.
+            # The (pair class, aux group) pair is never revisited, and the
+            # persistent on-disk cache (~/.cache/jchem_xla) makes a reload
+            # by a later molecule a disk read, not a recompile.
+            try:
+                kern.clear_cache()
+            except Exception:
+                pass
     if packed:
         B3 = B3.at[:, -1].set(0.0)  # trash column (screened-out scatter target)
+        return _to_host(B3)
+    return _to_host(B3).reshape(A, nbf, nbf)
+
+
+def _to_host(B3) -> np.ndarray:
+    """Device->host materialization of the built B tensor.
+
+    On the axon relay a single whole-tensor copy can RESOURCE_EXHAUST even
+    when every launch in the build synced cleanly (observed S22 S01/S08:
+    51/51 launches OK, the final 80 MB np.asarray raised) — the transfer
+    path stages through a bounded device-side pool.  Copy in bounded row
+    slabs instead; memlog (JCHEM_3C_MEMLOG=1) traces slab progress so a
+    failing slab pinpoints the pool state.
+    """
+    import os
+
+    memlog = os.environ.get("JCHEM_3C_MEMLOG") == "1"
+    A, width = B3.shape
+    slab = max(1, int(float(os.environ.get("JCHEM_3C_D2H_ELEMS", 2e6))
+                      // max(1, width)))
+    if A <= slab:
         return np.asarray(B3)
-    return np.asarray(B3).reshape(A, nbf, nbf)
+    out = np.empty((A, width))
+    cleared = False
+    for i in range(0, A, slab):
+        try:
+            out[i:i + slab] = np.asarray(B3[i:i + slab])
+        except Exception as exc:
+            if not _is_compile_or_resource_error(exc) or cleared:
+                raise
+            # the transfer pool is exhausted even though every launch
+            # synced: drop every loaded executable (the slicing op above
+            # also compiles one) and retry this slab once
+            jax.clear_caches()
+            cleared = True
+            if memlog:
+                print(f"# 3c d2h rows {i}: RESOURCE_EXHAUSTED -> "
+                      f"clear_caches + retry", flush=True)
+            out[i:i + slab] = np.asarray(B3[i:i + slab])
+        if memlog:
+            print(f"# 3c d2h rows {i}..{min(i + slab, A)} ok", flush=True)
+    return out
 
 
 def _three_center_host(primary: Basis, aux: Basis,
