@@ -160,3 +160,51 @@ def test_gradient_spherical_vs_finite_difference():
         es.append(rhf.energy(mp, bp, TIGHT)["Energy"])
     fd = (es[0] - es[1]) / (2 * h)
     assert abs(fd - g[0, 2]) < 5e-6, (fd, g[0, 2])
+
+
+def test_uhf_rohf_spherical():
+    """Open-shell spherical: UHF/ROHF closed-shell limits equal spherical
+    RHF, and a doublet runs with the d-projected space (OH radical)."""
+    from juliachem_jl_tpu.models import rohf, uhf
+
+    mol = molecule.from_input_dict(WATER)
+    b = CalculationBasisSets(basis.build(mol, "6-31G*"), None, spherical=True)
+    e_rhf = rhf.energy(mol, b, TIGHT)["Energy"]
+    r_u = uhf.energy(mol, b, TIGHT)
+    assert r_u["Converged?"]
+    assert abs(r_u["Energy"] - e_rhf) < 1e-8
+    assert r_u["Spherical Transform"] is not None
+
+    oh = molecule.from_input_dict({
+        "symbols": ["O", "H"],
+        "geometry": [0.0, 0.0, 0.0, 0.0, 0.0, 0.9697],
+        "molecular_multiplicity": 2,
+    })
+    bo = CalculationBasisSets(basis.build(oh, "6-31G*"), None, spherical=True)
+    r_rohf = rohf.energy(oh, bo, {**TIGHT, "multiplicity": 2})
+    r_uhf = uhf.energy(oh, bo, {**TIGHT, "multiplicity": 2})
+    assert r_rohf["Converged?"] and r_uhf["Converged?"]
+    # variational ordering: E_UHF <= E_ROHF; both near HF/6-31G* OH values
+    assert r_uhf["Energy"] <= r_rohf["Energy"] + 1e-10
+    assert abs(r_uhf["Energy"] - r_rohf["Energy"]) < 5e-3
+    assert -75.5 < r_uhf["Energy"] < -75.2
+
+
+def test_driver_spherical_input(tmp_path):
+    """'spherical': true flows from the input JSON through the driver."""
+    import json
+
+    import juliachem_jl_tpu as jc
+
+    spec = {
+        "molecule": WATER,
+        "driver": "energy",
+        "model": {"method": "RHF", "basis": "6-31G*", "spherical": True},
+        "keywords": {"scf": {"niter": 60, "dele": 1e-9, "rmsd": 1e-7}},
+    }
+    p = tmp_path / "water_sph.json"
+    p.write_text(json.dumps(spec))
+    out = jc.run_file(str(p))
+    res = out["Energy"] if "Energy" in out and isinstance(out["Energy"], dict) else out
+    assert res["Spherical Transform"] is not None
+    assert np.asarray(res["MO Coeff"]).shape[0] == 18
