@@ -268,9 +268,10 @@ def energy(mol, basis_sets, scf_flags: dict | None = None,
 
 
 def _make_jk_builder(basis_sets, opts, use_df: bool, timings):
-    """Builders exposing two_electron_jk.  DF-UHF uses the dense fitted-B
-    builder (the screened/sharded DF builders expose only the closed-shell
-    fused kernel so far)."""
+    """Builders exposing two_electron_jk.  DF routes like the closed-shell
+    dispatcher (rhf._make_fock_builder): dense fitted-B while it fits
+    comfortably in HBM, else the packed screened path
+    (df_screened_jk.ScreenedDFJKBuilder)."""
     if use_df:
         from .df import DFFockBuilder
 
@@ -278,6 +279,19 @@ def _make_jk_builder(basis_sets, opts, use_df: bool, timings):
             raise ValueError(
                 "density-fitted UHF requires an auxiliary basis "
                 "(model['auxiliary_basis'])")
+        nbf, A = basis_sets.primary.nbf, basis_sets.auxiliary.nbf
+        mode = opts.contraction_mode
+        use_screened = (
+            mode == C.ContractionMode.screened
+            or (mode == C.ContractionMode.default
+                and not opts.df_force_dense
+                and A * nbf * nbf * 8 > 2.0e9))
+        if use_screened:
+            from .df_screened_jk import ScreenedDFJKBuilder
+
+            return ScreenedDFJKBuilder(
+                basis_sets.primary, basis_sets.auxiliary, opts,
+                timings=timings)
         return DFFockBuilder(basis_sets.primary, basis_sets.auxiliary, opts,
                              timings=timings)
     from ..ops.fock import DenseFock, ScreenedDirectFock
