@@ -48,6 +48,7 @@ class ShardedDFFockBuilder(FockBuilder):
             primary, auxiliary, self.mesh, opts, timings)
         self.B = B_sh
         self.screen = screen
+        self._q_chunk, self._n_chunks = qc, n_chunks  # for JK subclass
         self._fock = make_packed_fock_step(
             self.mesh, A_pad, screen.npq + 1, self.nbf, qc, n_chunks)
         # mixed-precision phase: a B32 shard alongside B64 when the combined

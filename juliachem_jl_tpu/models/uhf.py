@@ -279,6 +279,12 @@ def _make_jk_builder(basis_sets, opts, use_df: bool, timings):
             raise ValueError(
                 "density-fitted UHF requires an auxiliary basis "
                 "(model['auxiliary_basis'])")
+        if int(getattr(opts, "num_devices", 1) or 1) > 1:
+            from .df_sharded_jk import ShardedDFJKBuilder
+
+            return ShardedDFJKBuilder(
+                basis_sets.primary, basis_sets.auxiliary, opts,
+                timings=timings)
         nbf, A = basis_sets.primary.nbf, basis_sets.auxiliary.nbf
         mode = opts.contraction_mode
         use_screened = (

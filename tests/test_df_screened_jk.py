@@ -102,3 +102,32 @@ def test_screened_df_uhf_end_to_end(system):
     r_scr = uhf.energy(oh, bo, {**kw, "contraction_mode": "screened"})
     assert r_scr["Converged?"]
     assert abs(r_scr["Energy"] - e_dense) < 1e-8
+
+
+def test_sharded_jk_multidevice(system):
+    """Mesh-sharded spin-resolved J/K (models/df_sharded_jk.py) on the
+    8-virtual-device CPU mesh: UHF with num_devices=8 equals the dense
+    single-device DF-UHF, closed and open shell."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-virtual-device CPU mesh (conftest)")
+    mol, b = system
+    kw = {**TIGHT, "scf_type": "df"}
+    e1 = uhf.energy(mol, b, kw)["Energy"]
+    rn = uhf.energy(mol, b, {**kw, "num_devices": 8})
+    assert rn["Converged?"]
+    assert abs(rn["Energy"] - e1) < 1e-9
+
+    oh = molecule.from_input_dict({
+        "symbols": ["O", "H"],
+        "geometry": [0.0, 0.0, 0.0, 0.0, 0.0, 0.9697],
+    })
+    bo = CalculationBasisSets(
+        basis.build(oh, "6-31G"),
+        basis.build_auxiliary(oh, "cc-pVTZ-JKFIT", "6-31G"))
+    kw2 = {**TIGHT, "scf_type": "df", "multiplicity": 2}
+    e_dense = uhf.energy(oh, bo, kw2)["Energy"]
+    r_sh = uhf.energy(oh, bo, {**kw2, "num_devices": 8})
+    assert r_sh["Converged?"]
+    assert abs(r_sh["Energy"] - e_dense) < 1e-9
