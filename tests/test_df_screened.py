@@ -190,3 +190,21 @@ def test_sharded_profile_fock_phases(system):
     assert np.abs(G1 - G0).max() < 1e-10
     assert f"{JCTC.J_time}-1" in t2.timings
     assert f"{JCTC.K_time}-1" in t2.timings
+
+
+def test_huge_stream_scf_end_to_end(system, monkeypatch):
+    """The exact w7.6 (w64) north-star route at toy scale: out-of-core
+    host-RAM B build (HUGE_BUILD_BUDGET) + stream mode without a resident
+    B32 + the mixed-precision ladder, driven through the full SCF loop.
+    Must converge to the device-resident answer."""
+    import juliachem_jl_tpu.models.df_screened as dfs
+
+    mol, b = system
+    flags = {"scf_type": "df", "niter": 60, "dele": 1e-9, "rmsd": 1e-7,
+             "contraction_mode": "screened"}
+    e_ref = rhf.energy(mol, b, dict(flags))
+    monkeypatch.setattr(dfs, "HUGE_BUILD_BUDGET", 2e5)
+    monkeypatch.setattr(ScreenedDFFockBuilder, "DEVICE_B_BUDGET", 1e4)
+    e_stream = rhf.energy(mol, b, dict(flags))
+    assert e_ref["Converged?"] and e_stream["Converged?"]
+    assert abs(e_ref["Energy"] - e_stream["Energy"]) < 1e-9
