@@ -59,6 +59,31 @@ def main():
     dt = time.time() - t0
     out["h2d_f32_GBps"] = round(reps * a32.nbytes / dt / 1e9, 3)
 
+    # matmul rate by precision: decides whether a hand-rolled double-f32
+    # (compensated) J/K beats XLA's emulated-f64 for the steady-state SCF
+    # iterations (f64 steady 0.97-4.0 s/iter vs f32 phase ~0.18 s at w16)
+    n_mm = 4096
+    flops = 2.0 * n_mm**3
+    for name, dt, prec in (
+        ("bf16", jnp.bfloat16, None),
+        ("f32_default", jnp.float32, "default"),
+        ("f32_highest", jnp.float32, "highest"),
+        ("f64", jnp.float64, None),
+    ):
+        x = jnp.asarray(np.random.default_rng(1).random((n_mm, n_mm)), dt)
+        f = jax.jit(lambda a, b: jnp.matmul(a, b, precision=prec))
+        try:
+            f(x, x).block_until_ready()
+            t0 = time.time()
+            reps_mm = 4
+            for _ in range(reps_mm):
+                y = f(x, x)
+            y.block_until_ready()
+            dt_s = (time.time() - t0) / reps_mm
+            out[f"matmul_{name}_TFLOPs"] = round(flops / dt_s / 1e12, 2)
+        except Exception as exc:  # keep the probe alive on a failing mode
+            out[f"matmul_{name}_TFLOPs"] = f"error: {str(exc)[:80]}"
+
     print(json.dumps(out))
     with open("RELAY_BANDWIDTH.json", "w") as f:
         json.dump(out, f, indent=1)
