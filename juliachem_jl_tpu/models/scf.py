@@ -142,6 +142,15 @@ def scf_loop(
     D_fock_ref = None
     supports_f32 = getattr(fock_builder, "supports_f32_phase", False)
     fp32_phase = bool(opts.mixed_precision and supports_f32 and not opts.fdiff)
+    # f32 incremental Fock (opts.fdiff_f32): increments F(dD) build in f32 —
+    # their absolute error scales with ||F(dD)||, which vanishes with dD —
+    # with a full-f64 resync every opts.fdiff_resync increments and a
+    # mandatory resync before any convergence declaration (the test only
+    # ever accepts an untainted Fock, mirroring the f32-phase rule below)
+    fdiff32 = bool(getattr(opts, "fdiff_f32", False) and opts.fdiff
+                   and opts.mixed_precision and supports_f32)
+    inc_since_sync = 0
+    force_resync = False
     last_drms = 1.0e9
     converged = False
     # Energy-stagnation exit: on backends whose Fock build carries a small
@@ -179,12 +188,20 @@ def scf_loop(
             # marker so consumers (bench.py) can split per-iteration Fock
             # times by precision phase instead of reporting a blended mean
             timings.record("fock_f32", 1.0, it)
+        resync = fdiff32 and (force_resync
+                              or inc_since_sync >= max(opts.fdiff_resync, 1))
         with timings.timed(JCTC.fock_time, it):
-            if opts.fdiff and G_cumul is not None:
+            if opts.fdiff and G_cumul is not None and not resync:
                 # incremental Fock: build with dD, accumulate (SCF.jl:421-431)
                 dD = state.D - D_fock_ref
+                kwargs = ({"precision": "f32"}
+                          if fdiff32 and supports_f32 else {})
+                if fdiff32:
+                    timings.record("fock_f32", 1.0, it)
+                    inc_since_sync += 1
                 G_cumul = G_cumul + np.asarray(
-                    fock_builder.two_electron_fock(dD, it, timings, None))
+                    fock_builder.two_electron_fock(dD, it, timings, None,
+                                                   **kwargs))
                 D_fock_ref = state.D.copy()
                 G = G_cumul
             else:
@@ -195,6 +212,8 @@ def scf_loop(
                 if opts.fdiff:
                     G_cumul = G
                     D_fock_ref = state.D.copy()
+                inc_since_sync = 0
+                force_resync = False
         F = state.H + np.asarray(G)
 
         # DIIS on e = F D S - S D F.  Deliberate deviation from the
@@ -274,11 +293,15 @@ def scf_loop(
                 # never declare convergence off an f32 Fock: drop to f64 and
                 # keep iterating
                 fp32_phase = False
+            elif fdiff32 and inc_since_sync > 0:
+                # current Fock is built from f32 increments: rebuild full
+                # f64 next iteration and only accept the test on that
+                force_resync = True
             else:
                 converged = True
                 break
 
-        if fp32_phase:
+        if fp32_phase or (fdiff32 and inc_since_sync > 0):
             e_window.clear()
             stall_count = 0
         else:

@@ -90,5 +90,12 @@ NDIIS = "ndiis"
 NDIIS_DEFAULT = 8
 FDIFF = "fdiff"
 FDIFF_DEFAULT = False
+# f32 incremental-Fock: build fdiff increments in f32 (their absolute error
+# scales with ||F(dD)||, not ||F||), full-f64 resync every FDIFF_RESYNC
+# increments and before any convergence declaration
+FDIFF_F32 = "fdiff_f32"
+FDIFF_F32_DEFAULT = False
+FDIFF_RESYNC = "fdiff_resync"
+FDIFF_RESYNC_DEFAULT = 10
 DEBUG = "debug"
 DAMP = "damp"

@@ -29,6 +29,13 @@ class SCFOptions:
     num_devices: int = 1
     ndiis: int = C.NDIIS_DEFAULT
     fdiff: bool = C.FDIFF_DEFAULT
+    # f32 incremental Fock (see constants.FDIFF_F32); requires fdiff and a
+    # builder with an f32 phase.  The increment F(dD) carries f32 error
+    # relative to ||F(dD)|| — vanishing as dD -> 0 — so the accumulated G
+    # stays f64-accurate between the periodic full-f64 resyncs, and the
+    # convergence test only ever accepts a resync-built (untainted) Fock.
+    fdiff_f32: bool = C.FDIFF_F32_DEFAULT
+    fdiff_resync: int = C.FDIFF_RESYNC_DEFAULT
     damp: bool = True
     debug: bool = False
     # mixed-precision SCF: f32 Fock builds far from convergence, guaranteed
@@ -81,6 +88,8 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
         f.get("mixed_precision_switch", opts.mixed_precision_switch))
     opts.profile_fock = bool(f.get("profile_fock", opts.profile_fock))
     opts.fdiff = bool(f.get(C.FDIFF, opts.fdiff))
+    opts.fdiff_f32 = bool(f.get(C.FDIFF_F32, opts.fdiff_f32))
+    opts.fdiff_resync = int(f.get(C.FDIFF_RESYNC, opts.fdiff_resync))
     opts.damp = bool(f.get(C.DAMP, opts.damp))
     opts.debug = bool(f.get(C.DEBUG, opts.debug))
     return opts

@@ -208,3 +208,19 @@ def test_huge_stream_scf_end_to_end(system, monkeypatch):
     e_stream = rhf.energy(mol, b, dict(flags))
     assert e_ref["Converged?"] and e_stream["Converged?"]
     assert abs(e_ref["Energy"] - e_stream["Energy"]) < 1e-9
+
+
+def test_fdiff_f32_incremental_scf(system):
+    """f32 incremental-Fock ladder (fdiff_f32): increments build in f32 with
+    periodic/terminal full-f64 resyncs; the converged energy must match the
+    plain f64 path to the convergence tolerance, and f32-marked iterations
+    must actually occur."""
+    mol, b = system
+    flags = {"scf_type": "df", "niter": 60, "dele": 1e-9, "rmsd": 1e-7,
+             "contraction_mode": "screened"}
+    e_ref = rhf.energy(mol, b, dict(flags))
+    e_inc = rhf.energy(mol, b, {**flags, "fdiff": True, "fdiff_f32": True})
+    assert e_ref["Converged?"] and e_inc["Converged?"]
+    assert abs(e_ref["Energy"] - e_inc["Energy"]) < 1e-8
+    tk = e_inc["Timings"].timings
+    assert any(k.startswith("fock_f32-") for k in tk)
