@@ -468,31 +468,44 @@ def _to_host(B3) -> np.ndarray:
     """
     import os
 
+    import time as _time
+
     memlog = os.environ.get("JCHEM_3C_MEMLOG") == "1"
     A, width = B3.shape
+    # drop every loaded executable up front: by the end of the build dozens
+    # of 45-85 MB TPU programs are resident, and HBM crowding surfaces as
+    # RESOURCE_EXHAUSTED on the *transfer* (observed 2026-08-19 w16 cold
+    # bench: even reading the jit_dynamic_slice cache entry failed).  The
+    # persistent disk cache makes later reloads cheap.
+    jax.clear_caches()
     slab = max(1, int(float(os.environ.get("JCHEM_3C_D2H_ELEMS", 2e6))
                       // max(1, width)))
     if A <= slab:
         return np.asarray(B3)
     out = np.empty((A, width))
-    cleared = False
-    for i in range(0, A, slab):
+    i = 0
+    retries = 0
+    while i < A:
         try:
             out[i:i + slab] = np.asarray(B3[i:i + slab])
         except Exception as exc:
-            if not _is_compile_or_resource_error(exc) or cleared:
+            if not _is_compile_or_resource_error(exc) or retries >= 4:
                 raise
-            # the transfer pool is exhausted even though every launch
-            # synced: drop every loaded executable (the slicing op above
-            # also compiles one) and retry this slab once
+            # transfer pool exhausted even though every launch synced:
+            # drop executables again, give the async pool time to drain,
+            # and shrink the slab
+            retries += 1
             jax.clear_caches()
-            cleared = True
+            _time.sleep(5.0)
+            slab = max(1, slab // 2)
             if memlog:
                 print(f"# 3c d2h rows {i}: RESOURCE_EXHAUSTED -> "
-                      f"clear_caches + retry", flush=True)
-            out[i:i + slab] = np.asarray(B3[i:i + slab])
+                      f"clear_caches, slab={slab}, retry {retries}",
+                      flush=True)
+            continue
         if memlog:
             print(f"# 3c d2h rows {i}..{min(i + slab, A)} ok", flush=True)
+        i += slab
     return out
 
 
