@@ -110,11 +110,28 @@ def _other_chip_users() -> list:
 def main():
     import os
 
-    deadline = time.time() + 3600.0
-    while _other_chip_users() and time.time() < deadline:
-        print(f"# waiting for other chip users {_other_chip_users()} "
+    deadline = time.time() + 5400.0
+    busy = _other_chip_users()
+    while busy and time.time() < deadline:
+        print(f"# waiting for other chip users {busy} "
               "(single-tenant relay)", file=sys.stderr)
         time.sleep(30.0)
+        busy = _other_chip_users()
+    if busy:
+        # NEVER proceed concurrently: round-3's end-of-round bench did, and
+        # both processes died (RESOURCE_EXHAUSTED here, garbage ~1e13
+        # energies in the sweep).  A reduced CPU number beats a corrupted
+        # TPU one.
+        print(f"# chip still held by {busy} after wait; falling back to "
+              "reduced CPU bench", file=sys.stderr)
+        env = {k: v for k, v in os.environ.items()
+               if not k.startswith("PALLAS_AXON")}
+        env["JAX_PLATFORMS"] = "cpu"
+        import subprocess
+
+        raise SystemExit(subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "4"],
+            env=env).returncode)
 
     if not _device_available():
         # fall back to a reduced CPU run so the round still records a

@@ -77,13 +77,6 @@ def build_packed_screen(primary, pair_blocks) -> PackedScreen:
     return PackedScreen(nbf=nbf, npq=npq, pq_flat=pq_flat, col_map=col_map)
 
 
-# above this size the full packed tensor cannot live on device during the
-# build — assemble it in host RAM from aux-row blocks instead, and run the
-# metric solve over column chunks (ScreenedDF.jl's multi-rank B distribution
-# :134-225 collapses to this blocked single-chip pipeline + parallel/build.py
-# for the multi-device version)
-HUGE_BUILD_BUDGET = 5.0e9
-
 # RHS bytes per triangular-solve chunk; XLA's f64-on-TPU solve needs ~12x
 # this in HBM temps, so 8e8 keeps the solve under ~10 GB
 SOLVE_CHUNK_BUDGET = 8.0e8
@@ -110,27 +103,14 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
             primary, sigma, float(np.diag(metric).max()))
         screen = build_packed_screen(primary, pair_blocks)
     npq1 = screen.npq + 1
-    A = aux.nbf
-    huge = A * npq1 * 8 > HUGE_BUILD_BUDGET
     with timings.timed(JCTC.three_center_time):
-        if huge:
-            from ..parallel.build import partition_aux_shells, subset_basis
-
-            n_blocks = int(np.ceil(A * npq1 * 8 / HUGE_BUILD_BUDGET))
-            P3 = np.empty((A, npq1))
-            row = 0
-            for s0, s1 in partition_aux_shells(aux, n_blocks):
-                if s0 == s1:
-                    continue
-                sub = subset_basis(aux, range(s0, s1))
-                P3[row:row + sub.nbf] = eri3c.three_center_tensor(
-                    primary, sub, pair_blocks, col_map=screen.col_map,
-                    packed_width=npq1)
-                row += sub.nbf
-        else:
-            P3 = eri3c.three_center_tensor(
-                primary, aux, pair_blocks, col_map=screen.col_map,
-                packed_width=npq1)
+        # the 3-center builder accumulates in HOST memory for every size
+        # (round-4 redesign: device compute blocks, host scatter), so the
+        # round-3 "huge" aux-slab special case is gone — one code path
+        # from S22 monomers to w64
+        P3 = eri3c.three_center_tensor(
+            primary, aux, pair_blocks, col_map=screen.col_map,
+            packed_width=npq1)
     with timings.timed(JCTC.B_time):
         from .linalg import apply_triangular_inverse
 

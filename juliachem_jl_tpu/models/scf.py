@@ -236,6 +236,16 @@ def scf_loop(
                 F_diis = x * F_diis + (1.0 - x) * F_old
         F_old = F
 
+        # virtual level shift: add shift * (S - S D S / 2) — the S-metric
+        # virtual projector — to the Fock used for the Roothaan step only.
+        # The DIIS error vector and E_elec use the UNSHIFTED F, so the
+        # converged energy is the unshifted fixed point.  Released once the
+        # density step is inside the basin (d_rms < 1e-4) to let DIIS close
+        # the last digits unimpeded.
+        if getattr(opts, "level_shift", 0.0) > 0.0 and last_drms > 1.0e-4:
+            SDS = state.S @ (0.5 * state.D) @ state.S
+            F_diis = F_diis + opts.level_shift * (state.S - SDS)
+
         with timings.timed(JCTC.eigensolve_time, it):
             eps, Cmo, D = linalg.roothaan_step(F_diis, state.X, state.nocc)
             eps, Cmo, D = np.asarray(eps), np.asarray(Cmo), np.asarray(D)

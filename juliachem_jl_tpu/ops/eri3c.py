@@ -79,14 +79,22 @@ def _csize_cache() -> dict:
 
         # repo-bundled seed first: the user cache lives in ~/.cache and dies
         # with every VM recycle, after which each over-budget class re-pays
-        # 1-2 failed relay compile attempts (30-300 s each) before the retry
-        # loop rediscovers the working chunk.  The seed ships the values
-        # learned on this hardware (tools/snapshot_csize_seed.py refreshes
-        # it); live learning still overrides via the user cache.
+        # 1-2 failed relay launch attempts before the retry loop
+        # rediscovers the working chunk.  The seed ships the values learned
+        # on this hardware (tools/snapshot_csize_seed.py refreshes it).
+        # Keys carry the device KIND; legacy bare-backend "tpu:" seed keys
+        # are remapped to the current kind on load.  An explicit user-cache
+        # entry OVERRIDES the seed (plain assignment, not min — ADVICE r3:
+        # a cap learned under transient pressure must be raisable).
+        kind = _device_kind()
         try:
             with open(os.path.join(os.path.dirname(__file__), "data",
                                    "csize3c_seed.json")) as f:
-                _csize_data = {k: int(v) for k, v in json.load(f).items()}
+                _csize_data = {}
+                for k, v in json.load(f).items():
+                    if k.startswith("tpu:") and kind != "tpu":
+                        k = kind + k[3:]
+                    _csize_data[k] = int(v)
         except (OSError, ValueError):
             _csize_data = {}
         _CSIZE_CACHE_PATH = os.path.join(
@@ -94,7 +102,7 @@ def _csize_cache() -> dict:
         try:
             with open(_CSIZE_CACHE_PATH) as f:
                 for k, v in json.load(f).items():
-                    _csize_data[k] = min(int(v), _csize_data.get(k, 1 << 30))
+                    _csize_data[k] = int(v)
         except (OSError, ValueError):
             pass
     return _csize_data
@@ -105,7 +113,7 @@ def _csize_cache_update(key: str, csize: int) -> None:
     import os
 
     d = _csize_cache()
-    d[key] = min(int(csize), d.get(key, 1 << 30))
+    d[key] = int(csize)
     try:
         os.makedirs(os.path.dirname(_CSIZE_CACHE_PATH), exist_ok=True)
         with open(_CSIZE_CACHE_PATH, "w") as f:
@@ -170,26 +178,23 @@ def _threecenter_compute_kernel(la: int, lb: int, Ka: int, Kb: int,
     return jax.jit(f)
 
 
-@lru_cache(maxsize=None)
-def _threecenter_scatter_kernel(n_classes: int):
-    """Jitted scatter of per-class compute blocks into the flat B
-    workspace (rows: [Nq, ncq] aux rows, cols: [Pc, nab] packed columns).
-    This is the ONLY 3-center kernel whose compile keys on the
-    molecule-sized workspace shape — a plain scatter-add, seconds to
-    compile even through the remote relay."""
-    def f(B3, cols, cols_t, mirror, *rows_and_outs):
-        c4 = cols[:, :, None, None]
-        ct4 = cols_t[:, :, None, None]
-        mmask = mirror[:, None, None, None]
-        for ci in range(n_classes):
-            rows = rows_and_outs[2 * ci]
-            out = rows_and_outs[2 * ci + 1]
-            r4 = rows[None, None, :, :]
-            B3 = B3.at[r4, c4].add(out)
-            B3 = B3.at[r4, ct4].add(out * mmask)
-        return B3
+def _scatter_block_host(B3: np.ndarray, blk: np.ndarray, rows: np.ndarray,
+                        cols: np.ndarray, cols_t: np.ndarray,
+                        mirror: np.ndarray) -> None:
+    """Host scatter-add of one transferred compute block into B3.
 
-    return jax.jit(f, donate_argnums=(0,))
+    blk: [pc, nab, m, ncq] (valid region only); rows: [m, ncq] aux rows;
+    cols/cols_t: [pc, nab] packed/flat columns; mirror: [pc] bool.
+    Within one block every (aux row, column) pair is unique, so plain
+    fancy-index += is an exact reduction (same argument as the host path).
+    """
+    r4 = np.broadcast_to(rows[None, None, :, :], blk.shape)
+    c4 = np.broadcast_to(cols[:, :, None, None], blk.shape)
+    B3[r4, c4] += blk
+    if mirror.any():
+        bm = blk[mirror]
+        B3[np.broadcast_to(rows[None, None, :, :], bm.shape),
+           np.broadcast_to(cols_t[mirror][:, :, None, None], bm.shape)] += bm
 
 
 def three_center_tensor(
@@ -231,7 +236,20 @@ def three_center_tensor(
         width = packed_width if packed_width is not None else int(col_map.max()) + 1
     else:
         width = nbf * nbf
-    B3 = jnp.zeros((A, width))
+    # HOST accumulator.  Round-3 accumulated B3 on-device through a donated
+    # scatter-add chain and copied it out at the end — and died two ways:
+    # (a) the axon relay's block_until_ready does NOT surface async
+    # execution OOMs (the error defers to the next transfer RPC), so a
+    # poisoned B silently fed garbage SCF energies (S22 S01: E ~ -4.6e13);
+    # (b) the deferred RESOURCE_EXHAUSTED surfaced at the FINAL whole-tensor
+    # d2h where no retry could recover (BENCH_r03 w16/w32/w64 all died
+    # there).  Scattering on host removes the device-resident [A, width]
+    # tensor and its donation chain entirely, and transferring every
+    # compute block immediately surfaces any deferred error AT ITS LAUNCH,
+    # where the csize retry below is sound (nothing else is in flight).
+    # The transfer volume is ~0.6x of B itself — which stream mode pulls
+    # to host anyway — so this costs one extra pass over B at d2h rate.
+    B3 = np.zeros((A, width))
 
     # padded per-class auxiliary batch arrays, shared across pair classes
     from .class_tables import nherm as _nherm
@@ -240,13 +258,10 @@ def three_center_tensor(
     # exactly NQ_CHUNK shells (padding the tail), so aux_meta — and with it
     # every expensive compute-kernel compile — is identical for every
     # molecule sharing a basis family.  Power-of-two per-molecule pads
-    # (the previous scheme) still keyed kernels to the molecule's aux
+    # (the round-2 scheme) still keyed kernels to the molecule's aux
     # shell counts, recompiling 45-85 MB executables per system.
-    # Scatter rows for padded tail entries point at aux row 0 with zero
-    # coefficients (qcoef pad = 0 -> integral contribution is exactly 0).
     NQ_CHUNK = 64
-    aux_meta = []
-    qflat = []
+    aux_chunks = []  # (meta, qexp_j, qcoef_j, Qc_j, rows_np, m_valid)
     for aux_blk in aux_unit_blocks(aux):
         ncq = ncart(aux_blk.la)
         nq = aux_blk.n
@@ -256,28 +271,18 @@ def three_center_tensor(
             qexp = np.ones((NQ_CHUNK, aux_blk.aexp.shape[1]))
             qcoef = np.zeros((NQ_CHUNK, aux_blk.acoef.shape[1]))
             Qc = np.zeros((NQ_CHUNK, 3))
-            rows = np.zeros((NQ_CHUNK, ncq), dtype=np.int64)
             qexp[:m] = aux_blk.aexp[q0:q1]
             qcoef[:m] = aux_blk.acoef[q0:q1]
             Qc[:m] = aux_blk.A[q0:q1]
-            rows[:m] = aux_blk.off_a[q0:q1, None] + np.arange(ncq)[None, :]
-            aux_meta.append((aux_blk.la, aux_blk.aexp.shape[1], NQ_CHUNK))
-            qflat += [jnp.asarray(qexp), jnp.asarray(qcoef), jnp.asarray(Qc),
-                      jnp.asarray(rows)]
-    aux_meta = tuple(aux_meta)
+            rows = (aux_blk.off_a[q0:q1, None]
+                    + np.arange(ncq)[None, :]).astype(np.int64)
+            meta = (aux_blk.la, aux_blk.aexp.shape[1], NQ_CHUNK)
+            aux_chunks.append((meta, jnp.asarray(qexp), jnp.asarray(qcoef),
+                               jnp.asarray(Qc), rows, m))
 
     BUDGET = 1.2e8   # R-tensor working-set elements per kernel launch
     CSIZE_MIN = 64   # smallest useful pair chunk when sizing buckets
     n_launched = 0   # telemetry counter
-    # Backpressure budget: total ESTIMATED working-set elements allowed in
-    # flight before a block_until_ready.  A fixed every-N-launches sync
-    # (the previous scheme) let N max-size launches (~1 GB estimated each,
-    # and XLA's true footprint runs 2-3x the estimate) pile up in HBM —
-    # observed RESOURCE_EXHAUSTED on a 16 GB chip even for S22 S08, whose
-    # B tensor is only 60 MB.  Budgeting on bytes syncs big launches
-    # almost immediately while still batching many small ones.
-    inflight_budget = float(os.environ.get("JCHEM_3C_INFLIGHT", 2.4e8))
-    inflight = 0.0
     memlog = os.environ.get("JCHEM_3C_MEMLOG") == "1"
 
     for pblk in pair_blocks:
@@ -289,7 +294,7 @@ def three_center_tensor(
         if packed:
             cols = col_map[cols]
             cols_t = col_map[cols_t]
-        mirror = (pblk.ish != pblk.jsh).astype(np.float64)
+        mirror = pblk.ish != pblk.jsh                    # [n] bool
 
         n = pblk.n
         k2b = pblk.aexp.shape[1] * pblk.bexp.shape[1]
@@ -304,19 +309,17 @@ def three_center_tensor(
         # segfaulted the XLA CPU compiler and RESOURCE_EXHAUSTed the TPU
         # at w16).
         arrays = [pblk.aexp, pblk.bexp, pblk.acoef, pblk.bcoef,
-                  pblk.A, pblk.B, cols, cols_t,
-                  np.ones(n), mirror]
+                  pblk.A, pblk.B, np.ones(n)]
 
-        groups: dict = {}  # (lq, Kq, NQ_CHUNK) -> [chunk index]
-        for ci, meta in enumerate(aux_meta):
-            groups.setdefault(meta, []).append(ci)
+        groups: dict = {}  # (lq, Kq, NQ_CHUNK) -> [aux chunk]
+        for chk in aux_chunks:
+            groups.setdefault(chk[0], []).append(chk)
 
-        for meta, cis in groups.items():
+        for meta, chks in groups.items():
             lq, Kq, nq_pad = meta
             kern = _threecenter_compute_kernel(
                 pblk.la, pblk.lb, pblk.aexp.shape[1], pblk.bexp.shape[1],
                 (meta,))
-            scat = _threecenter_scatter_kernel(1)
             # per-pair-row, per-primitive-pair working set: the largest of
             # the R tensor [NQ,Kq,nherm(L)], its comb-expanded gather M
             # [NQ,Kq,nherm(Lb),nherm(lq)] and the T1 einsum intermediate
@@ -333,180 +336,98 @@ def three_center_tensor(
             # set of 4.8e7 elements (csize 256, 3 reps + transfer) but at
             # 9.6e7 (csize 512) the execution exhausts the 16 GB chip —
             # and block_until_ready on the axon relay does NOT surface the
-            # async failure (it reports success; the error deferred to the
-            # next transfer RPC, S22 S01/S08 fails), so the runtime retry
-            # CANNOT catch this.  The true XLA:TPU emulated-f64 temp
-            # multiplicity evidently grows steeply with total L; classes
-            # at L >= 10 get a proactively shrunk budget.  L <= 9 keeps
-            # the full budget (proven: (2,3|g) L=9 at 6.9e7 and every
-            # w16 class at L <= 8).
+            # async failure, so a reactive retry alone cannot catch it.
+            # The true XLA:TPU emulated-f64 temp multiplicity grows
+            # steeply with total L; classes at L >= 10 get a proactively
+            # shrunk budget.  L <= 9 keeps the full budget (proven:
+            # (2,3|g) L=9 at 6.9e7 and every w16 class at L <= 8).
             budget = BUDGET if (Lb2 + lq) < 10 else 5.0e7
             csize = int(budget / max(k2b * w, 1))
             csize = max(CSIZE_MIN, min(chunk, csize))
             # round to power-of-two bucket to bound compile variants
             csize = 1 << (csize.bit_length() - 1)
-            ck = (f"{jax.default_backend()}:{pblk.la},{pblk.lb},"
+            ck = (f"{_device_kind()}:{pblk.la},{pblk.lb},"
                   f"{pblk.aexp.shape[1]},{pblk.bexp.shape[1]},"
                   f"{lq},{Kq},{nq_pad}")
             csize = min(csize, _csize_cache().get(ck, csize))
 
-            for ci in cis:
-                bflat = qflat[4 * ci: 4 * ci + 3]
-                rows = qflat[4 * ci + 3]
-                done = 0    # pair rows confirmed-on-device (sync-aligned)
-                B3_ck = B3  # checkpoint: B3 value proven valid at `done`
-                while done < n:
-                    # pre-pad the whole block once (host work is serial)
-                    n_pad = -(-n // csize) * csize
-                    padded = []
+            for _, qexp_j, qcoef_j, Qc_j, rows_np, m in chks:
+                bflat = (qexp_j, qcoef_j, Qc_j)
+                s = 0
+                while s < n:
+                    e = min(s + csize, n)
+                    ch = []
                     for x in arrays:
-                        if n_pad != n:
-                            fill = np.repeat(x[:1], n_pad - n, axis=0)
-                            if x is arrays[8]:  # valid mask: pads invalid
-                                fill = np.zeros(n_pad - n)
-                            x = np.concatenate([x, fill], axis=0)
-                        padded.append(x)
+                        xs = x[s:e]
+                        if e - s < csize:  # pad the tail launch
+                            fill = np.repeat(xs[:1], csize - (e - s), axis=0)
+                            if x is arrays[6]:  # valid mask: pads invalid
+                                fill = np.zeros(csize - (e - s))
+                            xs = np.concatenate([xs, fill], axis=0)
+                        ch.append(jnp.asarray(xs))
                     try:
-                        for s in range(done, n_pad, csize):
-                            ch = [jnp.asarray(x[s:s + csize])
-                                  for x in padded]
-                            # compute args: aexp..B (0-5) + valid (8); the
-                            # molecule-shaped scatter takes cols/cols_t/
-                            # mirror
-                            out, = kern(*ch[:6], ch[8], *bflat)
-                            B3 = scat(B3, ch[6], ch[7], ch[9], rows, out)
-                            # backpressure: the B3 scatter chain serializes
-                            # EXECUTION, but dispatch is async — without a
-                            # periodic sync every pending launch's working
-                            # set (R/comb temporaries + the output block
-                            # [csize, nab, NQ, ncq] f64, ~1 GB estimated
-                            # for f-shell classes) sits in HBM at once.
-                            # Observed: S22 S01 (dense B only 0.08 GB, but
-                            # 826 uncontracted AutoAux shells => many
-                            # launches) RESOURCE_EXHAUSTED a 16 GB chip,
-                            # and S08 (real JKFIT, B = 60 MB) did too with
-                            # a fixed every-4-launches sync.
-                            # `done` and the B3 checkpoint only advance at
-                            # a SUCCESSFUL sync: an async exec failure
-                            # (e.g. OOM) poisons every B3 derived from the
-                            # failed launch, so the retry below must
-                            # restart from a value proven materialized.
-                            n_launched += 1
-                            # padded launches always compute csize rows
-                            inflight += csize * k2b * w
-                            if inflight >= inflight_budget:
-                                B3.block_until_ready()
-                                inflight = 0.0
-                                done = min(s + csize, n)
-                                B3_ck = B3
-                                if memlog:
-                                    st = jax.devices()[0].memory_stats() or {}
-                                    print(f"# 3c launch {n_launched} class "
-                                          f"({pblk.la},{pblk.lb},{lq}) "
-                                          f"csize={csize} hbm="
-                                          f"{st.get('bytes_in_use', -1)/1e9:.2f}GB "
-                                          f"peak={st.get('peak_bytes_in_use', -1)/1e9:.2f}GB",
-                                          flush=True)
-                        # settle the tail launches of this class so any
-                        # deferred async error is caught by the retry here
-                        # (not at the final np.asarray, where `done` is
-                        # untracked and nothing can back off)
-                        B3.block_until_ready()
-                        inflight = 0.0
-                        done = n
-                        B3_ck = B3
-                        break
+                        out, = kern(*ch, *bflat)
+                        # immediate d2h: blocks until the launch really
+                        # executed, so a deferred async failure surfaces
+                        # HERE with nothing else in flight — the retry
+                        # below is then sound (B3 lives on host; no device
+                        # state to poison)
+                        blk = np.asarray(out)
                     except Exception as exc:
-                        B3 = B3_ck  # drop launches past the checkpoint
                         # remote TPU compile helper can fail on very large
-                        # kernel working sets; back off to smaller chunks
-                        # (new csize divides old, so `done` stays
-                        # chunk-aligned).  Only compile/resource failures
-                        # are retryable — numerical or shape bugs must
-                        # surface.
-                        inflight = 0.0  # pending chain dropped with B3_ck
+                        # kernel working sets; back off to smaller chunks.
+                        # Only compile/resource failures are retryable —
+                        # numerical or shape bugs must surface.
                         if (not _is_compile_or_resource_error(exc)
                                 or csize <= 32):
                             raise
-                        csize //= 4
+                        csize = max(32, csize // 4)
                         _csize_cache_update(ck, csize)
                         import warnings
 
                         warnings.warn(
-                            f"3-center kernel compile failed for class "
+                            f"3-center kernel launch failed for class "
                             f"(la={pblk.la},lb={pblk.lb},lq={lq}); "
                             f"retrying with chunk {csize}", stacklevel=2)
+                        continue
+                    n_launched += 1
+                    _scatter_block_host(B3, blk[:e - s, :, :m, :],
+                                        rows_np, cols[s:e], cols_t[s:e],
+                                        mirror[s:e])
+                    if memlog and n_launched % 25 == 0:
+                        st = jax.devices()[0].memory_stats() or {}
+                        print(f"# 3c launch {n_launched} class "
+                              f"({pblk.la},{pblk.lb},{lq}) csize={csize} "
+                              f"hbm={st.get('bytes_in_use', -1)/1e9:.2f}GB "
+                              f"peak={st.get('peak_bytes_in_use', -1)/1e9:.2f}GB",
+                              flush=True)
+                    s = e
             # Unload this kernel's device executables: each compiled
             # variant is a 45-85 MB TPU program, and a rich-shell system
             # visits O(pair classes x aux groups) = 100+ variants (plus
             # csize-retry shapes).  Keeping them all loaded for the whole
-            # build exhausts HBM with PROGRAM memory — the residual
-            # RESOURCE_EXHAUSTED at the final transfer on S22 S01/S08
-            # after launch backpressure had already bounded data buffers.
-            # The (pair class, aux group) pair is never revisited, and the
-            # persistent on-disk cache (~/.cache/jchem_xla) makes a reload
-            # by a later molecule a disk read, not a recompile.
+            # build crowds HBM with PROGRAM memory.  The (pair class, aux
+            # group) pair is never revisited, and the persistent on-disk
+            # cache (~/.cache/jchem_xla) makes a reload by a later
+            # molecule a disk read, not a recompile.
             try:
                 kern.clear_cache()
             except Exception:
                 pass
     if packed:
-        B3 = B3.at[:, -1].set(0.0)  # trash column (screened-out scatter target)
-        return _to_host(B3)
-    return _to_host(B3).reshape(A, nbf, nbf)
+        B3[:, -1] = 0.0  # trash column (screened-out scatter target)
+        return B3
+    return B3.reshape(A, nbf, nbf)
 
 
-def _to_host(B3) -> np.ndarray:
-    """Device->host materialization of the built B tensor.
-
-    On the axon relay a single whole-tensor copy can RESOURCE_EXHAUST even
-    when every launch in the build synced cleanly (observed S22 S01/S08:
-    51/51 launches OK, the final 80 MB np.asarray raised) — the transfer
-    path stages through a bounded device-side pool.  Copy in bounded row
-    slabs instead; memlog (JCHEM_3C_MEMLOG=1) traces slab progress so a
-    failing slab pinpoints the pool state.
-    """
-    import os
-
-    import time as _time
-
-    memlog = os.environ.get("JCHEM_3C_MEMLOG") == "1"
-    A, width = B3.shape
-    # drop every loaded executable up front: by the end of the build dozens
-    # of 45-85 MB TPU programs are resident, and HBM crowding surfaces as
-    # RESOURCE_EXHAUSTED on the *transfer* (observed 2026-08-19 w16 cold
-    # bench: even reading the jit_dynamic_slice cache entry failed).  The
-    # persistent disk cache makes later reloads cheap.
-    jax.clear_caches()
-    slab = max(1, int(float(os.environ.get("JCHEM_3C_D2H_ELEMS", 2e6))
-                      // max(1, width)))
-    if A <= slab:
-        return np.asarray(B3)
-    out = np.empty((A, width))
-    i = 0
-    retries = 0
-    while i < A:
-        try:
-            out[i:i + slab] = np.asarray(B3[i:i + slab])
-        except Exception as exc:
-            if not _is_compile_or_resource_error(exc) or retries >= 4:
-                raise
-            # transfer pool exhausted even though every launch synced:
-            # drop executables again, give the async pool time to drain,
-            # and shrink the slab
-            retries += 1
-            jax.clear_caches()
-            _time.sleep(5.0)
-            slab = max(1, slab // 2)
-            if memlog:
-                print(f"# 3c d2h rows {i}: RESOURCE_EXHAUSTED -> "
-                      f"clear_caches, slab={slab}, retry {retries}",
-                      flush=True)
-            continue
-        if memlog:
-            print(f"# 3c d2h rows {i}..{min(i + slab, A)} ok", flush=True)
-        i += slab
-    return out
+def _device_kind() -> str:
+    """Chunk-cap cache key component: the device KIND, not the backend name
+    ('tpu' alone would let a cap learned on a small-HBM chip permanently
+    pessimize larger chips — ADVICE r3)."""
+    try:
+        return jax.devices()[0].device_kind.replace(" ", "_")
+    except Exception:
+        return jax.default_backend()
 
 
 def _three_center_host(primary: Basis, aux: Basis,

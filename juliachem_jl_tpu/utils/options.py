@@ -37,6 +37,14 @@ class SCFOptions:
     fdiff_f32: bool = C.FDIFF_F32_DEFAULT
     fdiff_resync: int = C.FDIFF_RESYNC_DEFAULT
     damp: bool = True
+    # virtual-orbital level shift (Eh): F <- F + shift * (S - S D S / 2),
+    # i.e. the virtual projector in the S metric.  Raises virtual
+    # eigenvalues by ~shift, damping occupied-virtual rotations on systems
+    # whose DIIS limit-cycles (S22 S17 DF).  Auto-released once the density
+    # step is inside the convergence basin, so converged energies match the
+    # unshifted fixed point.  Extension beyond the reference (which has no
+    # level shifting and simply fails such cases).
+    level_shift: float = 0.0
     debug: bool = False
     # mixed-precision SCF: f32 Fock builds far from convergence, guaranteed
     # f64 for the final iterations (TPU-native optimization; no reference
@@ -91,6 +99,7 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
     opts.fdiff_f32 = bool(f.get(C.FDIFF_F32, opts.fdiff_f32))
     opts.fdiff_resync = int(f.get(C.FDIFF_RESYNC, opts.fdiff_resync))
     opts.damp = bool(f.get(C.DAMP, opts.damp))
+    opts.level_shift = float(f.get("level_shift", opts.level_shift))
     opts.debug = bool(f.get(C.DEBUG, opts.debug))
     return opts
 

@@ -126,18 +126,40 @@ def test_blocked_lower_triangle_k(system):
     assert np.abs(S3 - S1).max() < 1e-8
 
 
-def test_huge_build_matches(system, monkeypatch):
-    """The host-assembled (blocked 3-center + column-chunked solve) build
-    must reproduce the on-device build bit-for-nearly-bit."""
-    import juliachem_jl_tpu.models.df_screened as dfs
+def test_device_3c_path_matches_host(monkeypatch):
+    """The jitted device 3-center path (round-4 host-scatter redesign:
+    device compute blocks, immediate d2h, numpy scatter) must reproduce the
+    zero-compile host-numpy path in both dense and packed modes.  Uses H2
+    so the CPU-backend kernel compiles stay cheap; covers tail padding
+    (n < csize, nq < NQ_CHUNK) and the shell-pair mirror."""
+    from juliachem_jl_tpu.models.df import screened_pair_blocks
+    from juliachem_jl_tpu.models.df_screened import build_packed_screen
+    from juliachem_jl_tpu.ops import eri3c
 
-    mol, b = system
-    opts = create_scf_options({"scf_type": "df"})
-    B_ref, screen_ref = dfs.build_B_packed(b.primary, b.auxiliary, opts)
-    monkeypatch.setattr(dfs, "HUGE_BUILD_BUDGET", 2e5)  # force blocking
-    B_huge, screen_huge = dfs.build_B_packed(b.primary, b.auxiliary, opts)
-    assert screen_ref.npq == screen_huge.npq
-    assert np.abs(B_ref - B_huge).max() < 1e-12
+    mol = molecule.from_input_dict({
+        "symbols": ["H", "H"], "geometry": [0.0, 0.0, 0.0, 0.0, 0.0, 0.74]})
+    b = CalculationBasisSets(
+        basis.build(mol, "6-31G"),
+        basis.build_auxiliary(mol, "cc-pVDZ-JKFIT", "6-31G"),
+    )
+    B_host = eri3c.three_center_tensor(b.primary, b.auxiliary)
+    monkeypatch.setenv("JCHEM_FORCE_DEVICE_3C", "1")
+    B_dev = eri3c.three_center_tensor(b.primary, b.auxiliary)
+    assert B_dev.shape == B_host.shape
+    assert np.abs(B_dev - B_host).max() < 1e-11
+
+    pair_blocks = screened_pair_blocks(b.primary, 1e-8, 1.0)
+    screen = build_packed_screen(b.primary, pair_blocks)
+    monkeypatch.delenv("JCHEM_FORCE_DEVICE_3C")
+    P_host = eri3c.three_center_tensor(
+        b.primary, b.auxiliary, pair_blocks, col_map=screen.col_map,
+        packed_width=screen.npq + 1)
+    monkeypatch.setenv("JCHEM_FORCE_DEVICE_3C", "1")
+    P_dev = eri3c.three_center_tensor(
+        b.primary, b.auxiliary, pair_blocks, col_map=screen.col_map,
+        packed_width=screen.npq + 1)
+    assert np.abs(P_dev - P_host).max() < 1e-11
+    assert np.all(P_dev[:, -1] == 0.0)  # trash column stays zeroed
 
 
 def test_stream_mode_f32_phase(system, monkeypatch):
@@ -193,17 +215,14 @@ def test_sharded_profile_fock_phases(system):
 
 
 def test_huge_stream_scf_end_to_end(system, monkeypatch):
-    """The exact w7.6 (w64) north-star route at toy scale: out-of-core
-    host-RAM B build (HUGE_BUILD_BUDGET) + stream mode without a resident
-    B32 + the mixed-precision ladder, driven through the full SCF loop.
-    Must converge to the device-resident answer."""
-    import juliachem_jl_tpu.models.df_screened as dfs
-
+    """The exact w7.6 (w64) north-star route at toy scale: host-RAM B
+    (always, after the round-4 host-scatter redesign) + stream mode without
+    a resident B32 + the mixed-precision ladder, driven through the full
+    SCF loop.  Must converge to the device-resident answer."""
     mol, b = system
     flags = {"scf_type": "df", "niter": 60, "dele": 1e-9, "rmsd": 1e-7,
              "contraction_mode": "screened"}
     e_ref = rhf.energy(mol, b, dict(flags))
-    monkeypatch.setattr(dfs, "HUGE_BUILD_BUDGET", 2e5)
     monkeypatch.setattr(ScreenedDFFockBuilder, "DEVICE_B_BUDGET", 1e4)
     e_stream = rhf.energy(mol, b, dict(flags))
     assert e_ref["Converged?"] and e_stream["Converged?"]

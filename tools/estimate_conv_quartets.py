@@ -44,11 +44,15 @@ idx_bytes = 0.0
 eri_elems = 0.0
 for i, (bb, qb, nb, nab) in enumerate(kept):
     for j in range(i, len(kept)):
-        bk, qk, nk, ncd = kept[j], None, None, None
         bk, qk_sorted, nk, ncd = kept[j]
-        # count pairs with qb[r]*qk[c] >= cutoff via sorted search
+        # count pairs with qb[r]*qk[c] >= cutoff via sorted search:
+        # qk_sorted is DESCENDING, so the partners with qk >= thresh[r] are
+        # a PREFIX — searchsorted on the negated (ascending) array with
+        # side="right" gives that prefix length.  (ADVICE r3: the previous
+        # `len - searchsorted(...)` counted the qk < thresh suffix instead,
+        # inverting every feasibility number derived from this tool.)
         thresh = cutoff / qb  # qk >= thresh[r]
-        cnt = len(qk_sorted) - np.searchsorted(-qk_sorted, -thresh)
+        cnt = np.searchsorted(-qk_sorted, -thresh, side="right")
         n = int(cnt.sum())
         if i == j:
             # upper-triangular r <= c: approximate as (n + diag)/2
@@ -56,8 +60,6 @@ for i, (bb, qb, nb, nab) in enumerate(kept):
         n_quartets += n
         nca, ncb = ncart(bb.la), ncart(bb.lb)
         ncc, ncd_ = ncart(bk.la), ncart(bk.lb)
-        per = (nca * ncb * 2 + ncc * ncd_ * 0  # idx_ab copied later; rough:
-               )
         # six image streams: ab, cd, ac, ad, bc, bd
         img = (nca * ncb + ncc * ncd_ + nca * ncc + nca * ncd_
                + ncb * ncc + ncb * ncd_)

@@ -26,6 +26,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 REF = "/root/reference"
 
@@ -102,7 +104,7 @@ with warnings.catch_warnings():
 # reaches rmsd 1e-10 in 17 iterations — energy error from rmsd r is
 # O(r^2), irrelevant at the golden tolerance.
 res = rhf.energy(mol, bsets, {{"scf_type": "df", "niter": 60, "dele": 1e-8,
-                               "rmsd": 5e-6, "guess": "sad"}})
+                               "rmsd": 5e-6, "guess": "sad"{extra}}})
 from juliachem_jl_tpu.utils.timings import JCTC
 _t = res["Timings"].timings
 print("RESULT:" + json.dumps({{
@@ -201,8 +203,28 @@ def main():
                 continue  # resume support
             tmpl = _DF if mode == "df" else (
                 _CONV_DFGUESS if df_guess else _CONV)
-            code = tmpl.format(ref=REF, imol=imol)
+            code = tmpl.format(ref=REF, imol=imol, extra="")
             out = run_one(code, timeout=timeout)
+            if (mode == "df" and "error" not in out
+                    and not out.get("converged")):
+                # non-convergence retry ladder: a modest virtual level
+                # shift rescues DIIS limit-cycles (S17-class failures)
+                out2 = run_one(tmpl.format(
+                    ref=REF, imol=imol, extra=', "level_shift": 0.25'),
+                    timeout=timeout)
+                if out2.get("converged"):
+                    out = out2
+                    out["level_shift"] = 0.25
+            # a corrupted device buffer can produce a finite but absurd
+            # energy (observed ~-4.6e13); never let it pose as a physical
+            # value in the artifact
+            if "energy" in out and not (
+                    out["energy"] is not None
+                    and np.isfinite(out["energy"])
+                    and abs(out["energy"]) < 1.0e8):
+                out["bad_energy"] = repr(out.pop("energy"))
+                out["energy"] = None
+                out["error"] = "absurd/nonfinite energy (corrupted buffers?)"
             if "error" in out:
                 out["pass"] = False
             elif mode == "conv":
