@@ -61,15 +61,14 @@ def build_B(primary, aux, opts=None, timings: Timings | None = None) -> np.ndarr
     with timings.timed(JCTC.three_center_time):
         P3 = eri3c.three_center_tensor(primary, aux, pair_blocks)
     with timings.timed(JCTC.B_time):
-        from .linalg import apply_triangular_inverse
+        from .linalg import fold_metric
 
-        L = np.linalg.cholesky(metric)
         A, nbf = aux.nbf, primary.nbf
         B = P3.reshape(A, -1)
         if not (isinstance(B, np.ndarray) and B.flags.writeable
                 and B.flags.c_contiguous):
             B = np.array(B)
-        apply_triangular_inverse(L, B)
+        fold_metric(metric, B)
     return B.reshape(A, nbf, nbf)
 
 

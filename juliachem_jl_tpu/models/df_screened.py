@@ -112,12 +112,11 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
             primary, aux, pair_blocks, col_map=screen.col_map,
             packed_width=npq1)
     with timings.timed(JCTC.B_time):
-        from .linalg import apply_triangular_inverse
+        from .linalg import fold_metric
 
-        L = np.linalg.cholesky(metric)
         B = P3 if isinstance(P3, np.ndarray) and P3.flags.writeable \
             else np.array(P3)
-        apply_triangular_inverse(L, B)
+        fold_metric(metric, B)
         B[:, -1] = 0.0
     return B, screen
 

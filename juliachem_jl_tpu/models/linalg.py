@@ -51,15 +51,20 @@ def apply_triangular_inverse(L: np.ndarray, B: np.ndarray) -> np.ndarray:
     the emulated-f64 matmul rate with one small kernel.  Small systems stay
     entirely on host (dgemm beats the device round-trip below ~5e10 flops).
     """
+    return _apply_square(triangular_inverse(L), B)
+
+
+def _apply_square(M: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """In-place B <- M B for a square [A, A] fold matrix, chunked over
+    columns through the device matmul above the host-dgemm crossover."""
     A, ncols = B.shape
-    Linv = triangular_inverse(L)
     if 2.0 * A * A * ncols < _HOST_SOLVE_FLOPS:
-        np.matmul(Linv, B, out=B)
+        np.matmul(M, B, out=B)
         return B
     Ap = -(-A // _ROW_BUCKET) * _ROW_BUCKET
-    Lp = np.zeros((Ap, Ap))
-    Lp[:A, :A] = Linv
-    Lj = jnp.asarray(Lp)
+    Mp = np.zeros((Ap, Ap))
+    Mp[:A, :A] = M
+    Mj = jnp.asarray(Mp)
     kern = _linv_matmul(Ap, _COL_CHUNK)
     buf = np.zeros((Ap, _COL_CHUNK))
     for s in range(0, ncols, _COL_CHUNK):
@@ -67,8 +72,51 @@ def apply_triangular_inverse(L: np.ndarray, B: np.ndarray) -> np.ndarray:
         buf[:A, :w] = B[:, s:s + w]
         if w < _COL_CHUNK:
             buf[:, w:] = 0.0
-        B[:, s:s + w] = np.asarray(kern(Lj, jnp.asarray(buf)))[:A, :w]
+        B[:, s:s + w] = np.asarray(kern(Mj, jnp.asarray(buf)))[:A, :w]
     return B
+
+
+# (min(diag L) / max(diag L))^2 below this marks the metric numerically
+# singular: the Cholesky factor's inverse would amplify integral noise by
+# ~1/ratio.  Generated (AutoAux) auxiliary sets on N-rich systems reach
+# cond ~1e17 (S22 S01: min eig 5.7e-15, deterministic garbage SCF energies
+# ~-4.6e13 / NaN through the plain-Cholesky fold); real JKFIT tables sit
+# around 1e5-1e8 and keep the fast path.
+_METRIC_DIAG_RATIO2 = 1e-12
+
+
+def fold_metric(metric: np.ndarray, B: np.ndarray,
+                lindep_thresh: float = 1e-10) -> np.ndarray:
+    """In-place DF metric fold B <- f(J) B with conditioning-aware f.
+
+    Healthy metric: f = L^{-1} (Cholesky, the reference's route —
+    ScreenedDF.jl:98-105).  Numerically singular metric (near-dependent
+    auxiliary functions, the AutoAux failure mode): f = the symmetric
+    pseudo-inverse square root V_k diag(w_k^{-1/2}) V_k^T with eigenvalues
+    below ``lindep_thresh * w_max`` dropped — the same canonical-
+    orthogonalization filtering the SCF applies to S (SCF.jl:141-162),
+    here shape-preserving so packed, dense and mesh-sharded B layouts are
+    untouched (dropped directions become exact zero rows of B, which add
+    nothing to J/K/MP2 sums over Q).
+    """
+    try:
+        L = np.linalg.cholesky(metric)
+        d = np.diag(L)
+        if (d.min() / d.max()) ** 2 >= _METRIC_DIAG_RATIO2:
+            return apply_triangular_inverse(L, B)
+    except np.linalg.LinAlgError:
+        pass
+    import warnings
+
+    w, V = np.linalg.eigh(metric)
+    keep = w >= lindep_thresh * w[-1]
+    warnings.warn(
+        f"DF metric numerically singular (min eig {w[0]:.2e}, max "
+        f"{w[-1]:.2e}); folding with pseudo-inverse sqrt, dropping "
+        f"{int((~keep).sum())}/{len(w)} auxiliary directions", stacklevel=2)
+    Vk = V[:, keep]
+    M = (Vk / np.sqrt(w[keep])[None, :]) @ Vk.T
+    return _apply_square(M, B)
 
 
 def orthogonalizer(S: np.ndarray, lindep_thresh: float = 1.0e-6):

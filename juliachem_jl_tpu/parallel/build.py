@@ -79,11 +79,10 @@ def build_B_packed_sharded(primary: Basis, aux: Basis, mesh: Mesh,
         P3 = np.concatenate(parts, axis=0)  # rows in global aux order
 
     with timings.timed(JCTC.B_time):
-        from ..models.linalg import apply_triangular_inverse
+        from ..models.linalg import fold_metric
 
-        L = np.linalg.cholesky(metric)
         B = P3
-        apply_triangular_inverse(L, B)
+        fold_metric(metric, B)
         B[:, -1] = 0.0
 
     # pad rows so each device holds n_chunks x q_chunk rows exactly

@@ -230,6 +230,26 @@ add("6-311++G(2d,2p)", "H",
     [dict(s) for s in CORE_6311G["H"]]
     + [S([DIFFUSE_S_H]), sh("P", [POL_2P_H[0]]), sh("P", [POL_2P_H[1]])])
 
+# 6-311++G(3df,3pd) (the ARPA-E fig1* production basis,
+# example_inputs/ARPA-E/6-311/*.json): the standard Pople splitting of the
+# single polarization exponent into three, d_i = d*(4, 1, 1/4) (the same
+# geometric convention as the 2d = d*(2, 1/2) sets above), one f set
+# (Frisch, Pople, Binkley 1984: C 0.8, N 1.0, O 1.4), and for H
+# p_i = 0.75*(4, 1, 1/4) plus a d with exponent 1.0.  Validated against the
+# reference's committed fig1e output (ARPA-E/6-311/fig1e_112thread.output,
+# Total SCF Energy -903.7991936826).
+for el in ["C", "N", "O"]:
+    _b = POL_D_6311[el]
+    add("6-311++G(3df,3pd)", el,
+        [dict(s) for s in CORE_6311G[el]]
+        + [L([DIFFUSE_SP[el]], [1.0], [1.0]),
+           sh("D", [4.0 * _b]), sh("D", [_b]), sh("D", [_b / 4.0]),
+           sh("F", [POL_F[el]])])
+add("6-311++G(3df,3pd)", "H",
+    [dict(s) for s in CORE_6311G["H"]]
+    + [S([DIFFUSE_S_H]), sh("P", [4.0 * POL_P_H_6311]), sh("P", [POL_P_H_6311]),
+       sh("P", [POL_P_H_6311 / 4.0]), sh("D", [1.0])])
+
 # ---------------------------------------------------------------------------
 # cc-pVDZ in the reference bsed.h5 trimmed-general-contraction form
 # (H, O transcribed from water_ccpvdz_out.log; C, N from Dunning 1989 in the
