@@ -173,6 +173,10 @@ def main():
         # (example_inputs/Water/7_6/water_7.6.json: dele=1.0, rmsd=2e-5)
         scf_flags = {"scf_type": "rhf" if CONV else "df", "niter": 50,
                      "dele": 1.0, "rmsd": 2e-5, "guess": "sad"}
+        if NW >= 32 and not CONV:
+            # hours-long B builds must survive TPU VM recycles: cache the
+            # folded B + screen on disk and resume past the build
+            scf_flags["df_b_cache"] = f"runs/w{NW}_B"
     import warnings
 
     with warnings.catch_warnings():

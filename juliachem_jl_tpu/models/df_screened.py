@@ -95,6 +95,11 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
     from .df import screened_pair_blocks
 
     timings = timings or Timings()
+    cache = getattr(opts, "df_b_cache", "") if opts is not None else ""
+    if cache:
+        hit = _load_b_cache(cache, primary, aux)
+        if hit is not None:
+            return hit
     with timings.timed(JCTC.two_center_time):
         metric = eri3c.two_center_metric(aux)
     sigma = getattr(opts, "df_screening_sigma", 1e-5) if opts is not None else 1e-5
@@ -118,7 +123,65 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
             else np.array(P3)
         fold_metric(metric, B)
         B[:, -1] = 0.0
+    if cache:
+        _save_b_cache(cache, primary, aux, B, screen)
     return B, screen
+
+
+def _b_cache_fingerprint(primary, aux) -> np.ndarray:
+    """Geometry+basis fingerprint guarding a cached B against reuse across
+    systems (same spirit as the SCF checkpoint guard, models/scf.py)."""
+    parts = [np.asarray([primary.nbf, aux.nbf], dtype=np.float64)]
+    for b in (primary, aux):
+        for l, cl in sorted(b.classes.items()):
+            parts.append(np.asarray([l, cl.nshell], dtype=np.float64))
+            parts.append(np.round(cl.centers.ravel(), 10))
+            parts.append(np.round(cl.exps.ravel(), 10))
+    v = np.concatenate(parts)
+    return np.asarray([v.size, float(v.sum()), float((v * v).sum())])
+
+
+def _load_b_cache(prefix: str, primary, aux):
+    import os
+
+    bp, sp = prefix + "_B.npy", prefix + "_screen.npz"
+    if not (os.path.exists(bp) and os.path.exists(sp)):
+        return None
+    try:
+        meta = np.load(sp)
+        if not np.allclose(meta["fingerprint"],
+                           _b_cache_fingerprint(primary, aux)):
+            return None
+        # mmap: stream mode slices Q-blocks through the page cache instead
+        # of holding a second full copy in RAM
+        B = np.load(bp, mmap_mode="r")
+        screen = PackedScreen(nbf=int(meta["nbf"]), npq=int(meta["npq"]),
+                              pq_flat=meta["pq_flat"],
+                              col_map=meta["col_map"])
+        if B.shape != (aux.nbf, screen.npq + 1):
+            return None
+        print(f"# build_B_packed: loaded cached B from {bp} "
+              f"({B.nbytes / 1e9:.1f} GB)", flush=True)
+        return B, screen
+    except Exception:
+        return None
+
+
+def _save_b_cache(prefix: str, primary, aux, B, screen) -> None:
+    import os
+
+    try:
+        os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+        np.save(prefix + "_B.npy.tmp.npy", B)
+        os.replace(prefix + "_B.npy.tmp.npy", prefix + "_B.npy")
+        np.savez(prefix + "_screen.npz", nbf=screen.nbf, npq=screen.npq,
+                 pq_flat=screen.pq_flat, col_map=screen.col_map,
+                 fingerprint=_b_cache_fingerprint(primary, aux))
+    except OSError as exc:
+        import warnings
+
+        warnings.warn(f"B cache write failed ({exc}); continuing without",
+                      stacklevel=2)
 
 
 # ---------------------------------------------------------------- kernels

@@ -45,6 +45,13 @@ class SCFOptions:
     # unshifted fixed point.  Extension beyond the reference (which has no
     # level shifting and simply fails such cases).
     level_shift: float = 0.0
+    # disk cache prefix for the folded packed-B tensor + screen maps.  The
+    # w64-class B build takes hours through the relay and the TPU VM
+    # recycles without warning; caching the finished (B, screen) under
+    # /root/repo lets an interrupted flagship run resume past its most
+    # expensive phase.  Loaded via np.load(mmap_mode="r"), so stream mode
+    # reads Q-blocks through the page cache without 2x host RAM.
+    df_b_cache: str = ""
     debug: bool = False
     # mixed-precision SCF: f32 Fock builds far from convergence, guaranteed
     # f64 for the final iterations (TPU-native optimization; no reference
@@ -91,6 +98,7 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
     opts.df_use_adaptive = bool(f.get(C.DeviceAlgorithms.df_use_adaptive, opts.df_use_adaptive))
     opts.num_devices = int(f.get(C.DeviceAlgorithms.num_devices, opts.num_devices))
     opts.ndiis = int(f.get(C.NDIIS, opts.ndiis))
+    opts.df_b_cache = str(f.get("df_b_cache", opts.df_b_cache))
     opts.mixed_precision = bool(f.get("mixed_precision", opts.mixed_precision))
     opts.mixed_precision_switch = float(
         f.get("mixed_precision_switch", opts.mixed_precision_switch))
