@@ -63,6 +63,21 @@ def _make_fock_builder(basis_sets, opts, prefer_df: bool, timings=None):
             basis_sets.primary, n_devices=opts.num_devices, timings=timings)
     if opts.contraction_mode == C.ContractionMode.dense and basis_sets.primary.nbf <= 160:
         return DenseFock(basis_sets.primary)
+    # past ~3e7 surviving quartets the class-batched builder's host index
+    # streams and per-quartet reduction plans stop fitting (16.7 GB host at
+    # w16, multi-TB at w64 — VERDICT r3); switch to the device-enumerated
+    # staircase walk, which is O(pairs) in both host and device memory
+    import os
+
+    from ..ops.fock_stream import StreamingDirectFock, count_screened_quartets
+
+    force = os.environ.get("JCHEM_CONV_STREAM")
+    if force == "1":
+        return StreamingDirectFock(basis_sets.primary)
+    if force != "0":
+        thresh = float(os.environ.get("JCHEM_CONV_STREAM_THRESHOLD", 3e7))
+        if count_screened_quartets(basis_sets.primary) > thresh:
+            return StreamingDirectFock(basis_sets.primary)
     return ScreenedDirectFock(basis_sets.primary)
 
 
