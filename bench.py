@@ -177,6 +177,11 @@ def main():
             # hours-long B builds must survive TPU VM recycles: cache the
             # folded B + screen on disk and resume past the build
             scf_flags["df_b_cache"] = f"runs/w{NW}_B"
+        if NW >= 48 and not CONV:
+            # the w64-class B is ~50 GB and every B-sized relay transfer
+            # runs at d2h 16 MB/s; f32 storage halves build/fold/stream
+            # bytes at a deterministic ~1e-5 Eh DF fixed-point shift
+            scf_flags["df_b_dtype"] = "f32"
     import warnings
 
     with warnings.catch_warnings():

@@ -108,14 +108,20 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
             primary, sigma, float(np.diag(metric).max()))
         screen = build_packed_screen(primary, pair_blocks)
     npq1 = screen.npq + 1
+    b_dtype = (np.float32
+               if str(getattr(opts, "df_b_dtype", "f64")) == "f32"
+               else np.float64)
     with timings.timed(JCTC.three_center_time):
         # the 3-center builder accumulates in HOST memory for every size
         # (round-4 redesign: device compute blocks, host scatter), so the
         # round-3 "huge" aux-slab special case is gone — one code path
-        # from S22 monomers to w64
+        # from S22 monomers to w64.  b_dtype=f32 halves every B-sized
+        # relay transfer (build d2h, fold d2h, per-iteration stream h2d)
+        # at a deterministic ~1e-5 Eh shift of the DF fixed point — the
+        # w64-class option (d2h measured 16 MB/s).
         P3 = eri3c.three_center_tensor(
             primary, aux, pair_blocks, col_map=screen.col_map,
-            packed_width=npq1)
+            packed_width=npq1, out_dtype=b_dtype)
     with timings.timed(JCTC.B_time):
         from .linalg import fold_metric
 
@@ -318,17 +324,17 @@ class ScreenedDFFockBuilder(FockBuilder):
             self.q_chunk = max(64, int(self.TILE_BUDGET / (8 * self.nbf**2)))
         self.q_chunk = min(self.q_chunk, A)
 
-        b_bytes = B.size * 8
+        b_bytes = B.nbytes  # dtype-aware (df_b_dtype="f32" halves this)
         self.stream = b_bytes > self.DEVICE_B_BUDGET
         self.mixed = bool(getattr(opts, "mixed_precision", True)) if opts is not None else True
         if self.stream:
-            self.B_host = B  # f64 stays in host RAM
+            self.B_host = B  # stays in host RAM (f64, or f32 via df_b_dtype)
             self.B = None
             # f32 copy resident in HBM for the cheap phase (half the bytes);
             # if even that overflows, _iter_blocks streams host blocks cast
             # to f32 per iteration instead
             self.B32 = (jnp.asarray(B.astype(np.float32))
-                        if b_bytes // 2 <= self.DEVICE_B_BUDGET else None)
+                        if B.size * 4 <= self.DEVICE_B_BUDGET else None)
         else:
             self.B_host = None
             self.B = jnp.asarray(B)

@@ -36,7 +36,12 @@ def triangular_inverse(L: np.ndarray) -> np.ndarray:
 
 @lru_cache(maxsize=8)
 def _linv_matmul(Ap: int, cb: int):
-    return jax.jit(lambda Li, X: Li @ X)
+    # compute ALWAYS in f64: the fold matrix carries cond(metric)^(1/2)
+    # dynamic range, and an f32 matmul loses ~cond * eps_f32 — measured
+    # 3e-3 Eh on S02, outside the DF gate.  f32 inputs/outputs only halve
+    # the relay transfer bytes; the MXU sees f64.
+    return jax.jit(
+        lambda Li, X: (Li @ X.astype(Li.dtype)).astype(X.dtype))
 
 
 def apply_triangular_inverse(L: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -56,17 +61,20 @@ def apply_triangular_inverse(L: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 def _apply_square(M: np.ndarray, B: np.ndarray) -> np.ndarray:
     """In-place B <- M B for a square [A, A] fold matrix, chunked over
-    columns through the device matmul above the host-dgemm crossover."""
+    columns through the device matmul above the host-dgemm crossover.
+    Runs in B's dtype: an f32 B (the w64-class transfer-halving option)
+    folds as an f32 MXU matmul and moves f32 bytes both ways."""
     A, ncols = B.shape
     if 2.0 * A * A * ncols < _HOST_SOLVE_FLOPS:
-        np.matmul(M, B, out=B)
+        # host: f64 dgemm, downcast on assignment when B is f32
+        B[...] = M @ B.astype(np.float64, copy=False)
         return B
     Ap = -(-A // _ROW_BUCKET) * _ROW_BUCKET
     Mp = np.zeros((Ap, Ap))
     Mp[:A, :A] = M
     Mj = jnp.asarray(Mp)
     kern = _linv_matmul(Ap, _COL_CHUNK)
-    buf = np.zeros((Ap, _COL_CHUNK))
+    buf = np.zeros((Ap, _COL_CHUNK), dtype=B.dtype)
     for s in range(0, ncols, _COL_CHUNK):
         w = min(_COL_CHUNK, ncols - s)
         buf[:A, :w] = B[:, s:s + w]

@@ -204,6 +204,7 @@ def three_center_tensor(
     chunk: int = 2048,
     col_map: np.ndarray | None = None,
     packed_width: int | None = None,
+    out_dtype=np.float64,
 ) -> np.ndarray:
     """(Q | mu nu) integrals, built on device.
 
@@ -229,7 +230,7 @@ def three_center_tensor(
         # (unpadded) shapes.  JCHEM_FORCE_DEVICE_3C=1 runs the device
         # (jit) path anyway so tests can cover it without a TPU.
         return _three_center_host(primary, aux, pair_blocks, col_map,
-                                  packed_width)
+                                  packed_width, out_dtype)
 
     packed = col_map is not None
     if packed:
@@ -249,7 +250,13 @@ def three_center_tensor(
     # where the csize retry below is sound (nothing else is in flight).
     # The transfer volume is ~0.6x of B itself — which stream mode pulls
     # to host anyway — so this costs one extra pass over B at d2h rate.
-    B3 = np.zeros((A, width))
+    # out_dtype=f32 halves every one of those d2h bytes (the relay moves
+    # ~16 MB/s device->host): compute stays f64 on device, each block is
+    # cast to f32 before the pull.  DF integral accuracy only needs
+    # ~1.5e-3 (the CI gate), so the f32 representation error (~6e-8
+    # relative) is invisible in the SCF — the w64-class option.
+    B3 = np.zeros((A, width), dtype=out_dtype)
+    cast32 = np.dtype(out_dtype) == np.float32
 
     # padded per-class auxiliary batch arrays, shared across pair classes
     from .class_tables import nherm as _nherm
@@ -367,6 +374,8 @@ def three_center_tensor(
                         ch.append(jnp.asarray(xs))
                     try:
                         out, = kern(*ch, *bflat)
+                        if cast32:
+                            out = out.astype(jnp.float32)
                         # immediate d2h: blocks until the launch really
                         # executed, so a deferred async failure surfaces
                         # HERE with nothing else in flight — the retry
@@ -433,7 +442,8 @@ def _device_kind() -> str:
 def _three_center_host(primary: Basis, aux: Basis,
                        pair_blocks: list[PairBlock],
                        col_map: np.ndarray | None,
-                       packed_width: int | None) -> np.ndarray:
+                       packed_width: int | None,
+                       out_dtype=np.float64) -> np.ndarray:
     """Host-numpy (Q | mu nu) builder — same math as the fused device kernel
     (bra Hermite reused across aux classes, MD R-tensor contraction), but
     with exact shapes, no padding and no scatter conflicts: within one
@@ -445,7 +455,7 @@ def _three_center_host(primary: Basis, aux: Basis,
         width = packed_width if packed_width is not None else int(col_map.max()) + 1
     else:
         width = nbf * nbf
-    B3 = np.zeros((A, width))
+    B3 = np.zeros((A, width), dtype=out_dtype)
     aux_blocks = aux_unit_blocks(aux)
     BUDGET = 6.0e7  # R-tensor working-set elements per pair chunk
 

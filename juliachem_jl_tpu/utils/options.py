@@ -52,6 +52,12 @@ class SCFOptions:
     # expensive phase.  Loaded via np.load(mmap_mode="r"), so stream mode
     # reads Q-blocks through the page cache without 2x host RAM.
     df_b_cache: str = ""
+    # packed-B storage/transfer precision: "f64" (default) or "f32".  f32
+    # halves every B-sized relay transfer (the w64 bottleneck: d2h measured
+    # 16 MB/s) and shifts the DF fixed point deterministically by ~1e-5 Eh
+    # — far inside the 1.5e-3 CI gate; J/K still accumulate in f64 on
+    # device (f32 blocks promote against the f64 density).
+    df_b_dtype: str = "f64"
     debug: bool = False
     # mixed-precision SCF: f32 Fock builds far from convergence, guaranteed
     # f64 for the final iterations (TPU-native optimization; no reference
@@ -99,6 +105,7 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
     opts.num_devices = int(f.get(C.DeviceAlgorithms.num_devices, opts.num_devices))
     opts.ndiis = int(f.get(C.NDIIS, opts.ndiis))
     opts.df_b_cache = str(f.get("df_b_cache", opts.df_b_cache))
+    opts.df_b_dtype = str(f.get("df_b_dtype", opts.df_b_dtype))
     opts.mixed_precision = bool(f.get("mixed_precision", opts.mixed_precision))
     opts.mixed_precision_switch = float(
         f.get("mixed_precision_switch", opts.mixed_precision_switch))
