@@ -349,14 +349,68 @@ add("cc-pVDZ-JKFIT", "O", uncontracted(_jk_dz_O))
 # cc-pVDZ-JKFIT C/N: like cc-pVTZ-JKFIT N above, no real table is available
 # in this snapshot — omitted so the AutoAux fallback covers them.
 
+# ---------------------------------------------------------------------------
+# Lithium (unlocks the ARPA-E fig1a/b/g/h/i inputs, C/H/Li/O).  6-31G core:
+# Dill & Pople, JCP 62, 2921 (1975); 6-311G core: Krishnan, Binkley, Seeger,
+# Pople, JCP 72, 650 (1980).  Standard diffuse sp 0.0074 and d 0.200 for Li.
+# No Li-containing golden exists in this snapshot (the committed ARPA-E
+# outputs cover only the Li-free fig1e), so like fluorine these are flagged
+# unverified-vs-goldens and pinned by physics tests instead
+# (tests/test_lithium.py: ROHF atom energy window + virial ratio).
+# ---------------------------------------------------------------------------
+CORE_631G_LI = [
+    S([642.418915, 96.7985153, 22.0911212, 6.20107025, 1.93511768,
+       0.636735789],
+      [0.00214260781, 0.0162088715, 0.0773155725, 0.245786052, 0.470189004,
+       0.345470845]),
+    L([2.32491867, 0.632430223, 0.0790534627],
+      [-0.0350917289, -0.191232844, 1.08398780],
+      [0.00894150804, 0.141009464, 0.945363695]),
+    L([0.0359620657], [1.0], [1.0]),
+]
+CORE_6311G_LI = [
+    S([900.4600, 134.4330, 30.43650, 8.626390, 2.483320, 0.3031790],
+      [0.00228704, 0.0176350, 0.0873434, 0.2809770, 0.6587410, 0.118712]),
+    L([4.868900, 0.856924, 0.243227],
+      [0.0933293, 0.9430450, -0.00279827],
+      [0.0327661, 0.1597920, 0.8856670]),
+    L([0.0635070], [1.0], [1.0]),
+    L([0.0243683], [1.0], [1.0]),
+]
+DIFFUSE_SP_LI = 0.0074
+POL_D_LI = 0.200
+add("6-31G", "Li", [dict(s) for s in CORE_631G_LI])
+add("6-31G*", "Li", [dict(s) for s in CORE_631G_LI] + [sh("D", [POL_D_LI])])
+add("6-31G**", "Li", LIB["6-31G*"]["Li"])
+add("6-31+G*", "Li", [dict(s) for s in CORE_631G_LI]
+    + [L([DIFFUSE_SP_LI], [1.0], [1.0]), sh("D", [POL_D_LI])])
+add("6-31+G**", "Li", LIB["6-31+G*"]["Li"])
+add("6-31++G**", "Li", LIB["6-31+G*"]["Li"])
+add("6-311G", "Li", [dict(s) for s in CORE_6311G_LI])
+add("6-311G**", "Li", [dict(s) for s in CORE_6311G_LI]
+    + [sh("D", [POL_D_LI])])
+add("6-311++G**", "Li", [dict(s) for s in CORE_6311G_LI]
+    + [L([DIFFUSE_SP_LI], [1.0], [1.0]), sh("D", [POL_D_LI])])
+add("6-311++G(2d,2p)", "Li", [dict(s) for s in CORE_6311G_LI]
+    + [L([DIFFUSE_SP_LI], [1.0], [1.0]),
+       sh("D", [2.0 * POL_D_LI]), sh("D", [POL_D_LI / 2.0])])
+# (3df): d*(4,1,1/4) + f 0.15 (the Gaussian-tabulated Li f exponent — the
+# least certain value here; flagged approximate below)
+add("6-311++G(3df,3pd)", "Li", [dict(s) for s in CORE_6311G_LI]
+    + [L([DIFFUSE_SP_LI], [1.0], [1.0]),
+       sh("D", [4.0 * POL_D_LI]), sh("D", [POL_D_LI]),
+       sh("D", [POL_D_LI / 4.0]), sh("F", [0.15])])
+
 META = {
     # F carries the published 6-31G values but no F-containing golden exists
     # in this environment to cross-check against (S22 is H/C/N/O only);
     # tests/test_fluorine.py pins the energy window + virial ratio instead.
-    "unverified_vs_goldens": [["STO-3G", "F"], ["6-31G", "F"], ["6-31G*", "F"], ["6-31+G*", "F"]],
+    "unverified_vs_goldens": [["STO-3G", "F"], ["6-31G", "F"], ["6-31G*", "F"], ["6-31+G*", "F"],
+                              ["6-31G", "Li"], ["6-31+G**", "Li"],
+                              ["6-311G", "Li"], ["6-311++G(3df,3pd)", "Li"]],
     # N 6-31G family now carries the published Hehre/Ditchfield/Pople values,
     # golden-validated via the nitrogen-containing S22 systems.
-    "approximate": [],
+    "approximate": [["6-311++G(3df,3pd)", "Li"]],  # the f exponent 0.15
     "synthesized": [],
 }
 
