@@ -250,6 +250,19 @@ add("6-311++G(3df,3pd)", "H",
     + [S([DIFFUSE_S_H]), sh("P", [4.0 * POL_P_H_6311]), sh("P", [POL_P_H_6311]),
        sh("P", [POL_P_H_6311 / 4.0]), sh("D", [1.0])])
 
+# 6-311G(2df,2pd): non-diffuse variant used by the reference's
+# density_fitting/H2_rhf.json.  Same Pople splitting conventions as above:
+# H gets 2p = p*(2, 1/2) (the POL_2P_H pair) plus a d with exponent 1.0;
+# heavy atoms get 2d = d*(2, 1/2) plus one f (Frisch/Pople/Binkley 1984).
+for el in ["C", "N", "O"]:
+    add("6-311G(2df,2pd)", el,
+        [dict(s) for s in CORE_6311G[el]]
+        + [sh("D", [POL_2D[el][0]]), sh("D", [POL_2D[el][1]]),
+           sh("F", [POL_F[el]])])
+add("6-311G(2df,2pd)", "H",
+    [dict(s) for s in CORE_6311G["H"]]
+    + [sh("P", [POL_2P_H[0]]), sh("P", [POL_2P_H[1]]), sh("D", [1.0])])
+
 # ---------------------------------------------------------------------------
 # cc-pVDZ in the reference bsed.h5 trimmed-general-contraction form
 # (H, O transcribed from water_ccpvdz_out.log; C, N from Dunning 1989 in the
