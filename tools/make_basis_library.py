@@ -415,16 +415,21 @@ add("6-311++G(3df,3pd)", "Li", [dict(s) for s in CORE_6311G_LI]
        sh("D", [POL_D_LI / 4.0]), sh("F", [0.15])])
 
 META = {
-    # F carries the published 6-31G values but no F-containing golden exists
-    # in this environment to cross-check against (S22 is H/C/N/O only);
-    # tests/test_fluorine.py pins the energy window + virial ratio instead.
-    "unverified_vs_goldens": [["STO-3G", "F"], ["6-31G", "F"], ["6-31G*", "F"], ["6-31+G*", "F"],
-                              ["6-31G", "Li"], ["6-31+G**", "Li"],
+    # F was verified round 3 (f4da7be/4928e0c) against Szabo-Ostlund and
+    # CCCBDB goldens — keep it OUT of this list or the regeneration clobbers
+    # the verified state (it did once, breaking
+    # tests/test_features.py::test_basis_lookup_casefold_and_warnings).
+    # Li carries published values but no Li golden exists here;
+    # tests/test_lithium.py pins the physics instead.
+    "unverified_vs_goldens": [["6-31G", "Li"], ["6-31+G**", "Li"],
                               ["6-311G", "Li"], ["6-311++G(3df,3pd)", "Li"]],
-    # N 6-31G family now carries the published Hehre/Ditchfield/Pople values,
-    # golden-validated via the nitrogen-containing S22 systems.
     "approximate": [["6-311++G(3df,3pd)", "Li"]],  # the f exponent 0.15
     "synthesized": [],
+    "verification_notes": (
+        "F verified 2026-08-18: RHF/STO-3G HF@1.7328a0 = -98.57077532 vs "
+        "Szabo-Ostlund -98.5707; RHF/6-31G* HF@0.911A = -100.00290698 vs "
+        "CCCBDB -100.002907; STO-3G zeta-scaling identity + <=1e-7 shell "
+        "normalization for the 6-31G family (tests/test_fluorine.py)"),
 }
 
 out_path = os.path.join(
