@@ -69,7 +69,14 @@ def main():
                 f"| S{int(k):02d} | {m['E_rhf']:.8f} | {m['E2']:.8f} "
                 f"| {m['E_mp2']:.8f} | {m['nbf']} | {m['naux']} |")
 
-    for name in ("BENCH_r02.json", "MULTICHIP_r02.json"):
+    arpae = _load("ARPAE_RESULTS.json")
+    if arpae:
+        lines += ["", "## ARPA-E fig1e (RHF/6-311++G(3df,3pd) C8O8H4 vs "
+                  "committed reference output -903.7991936826)", "",
+                  "```json", json.dumps(arpae, indent=1)[:1200], "```"]
+
+    for name in ("BENCH_W64_DF.json", "BENCH_W32_DF.json",
+                 "BENCH_W16_R04.json", "MULTICHIP_r03.json"):
         art = _load(name)
         if art:
             lines += ["", f"## {name}", "", "```json",
