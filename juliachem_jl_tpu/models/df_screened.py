@@ -30,6 +30,7 @@ RESOURCE_EXHAUSTED wall (round-1 limit: w12).
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass
 from functools import lru_cache, partial
 
@@ -125,11 +126,17 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
     with timings.timed(JCTC.B_time):
         from .linalg import fold_metric
 
+        import sys
+        print(f"# build_B_packed: folding metric into B "
+              f"({getattr(P3, 'nbytes', 0) / 1e9:.1f} GB)",
+              file=sys.stderr, flush=True)
         B = P3 if isinstance(P3, np.ndarray) and P3.flags.writeable \
             else np.array(P3)
         fold_metric(metric, B)
         B[:, -1] = 0.0
     if cache:
+        print(f"# build_B_packed: writing B cache to {cache}_B.npy",
+              file=sys.stderr, flush=True)
         _save_b_cache(cache, primary, aux, B, screen)
     return B, screen
 
@@ -357,10 +364,21 @@ class ScreenedDFFockBuilder(FockBuilder):
             src, cast = self.B, None
         else:
             src, cast = self.B_host, (np.float32 if dtype == "f32" else None)
-        for s in range(0, self.A, self.q_chunk):
+        streaming = isinstance(src, np.ndarray)
+        t0 = time.perf_counter() if streaming else 0.0
+        for i, s in enumerate(range(0, self.A, self.q_chunk)):
             blk = src[s:s + self.q_chunk]
             if isinstance(blk, np.ndarray):
                 blk = jnp.asarray(blk if cast is None else blk.astype(cast))
+                if i % 8 == 7:
+                    # stream-mode heartbeat: a w64 iteration h2d-streams
+                    # tens of GB; keep the watchdogged log alive
+                    import sys
+
+                    print(f"# stream h2d Q-block {i + 1}/"
+                          f"{-(-self.A // self.q_chunk)} "
+                          f"t={time.perf_counter() - t0:.0f}s",
+                          file=sys.stderr, flush=True)
             yield blk
 
     def _gather_d(self, D):

@@ -294,6 +294,15 @@ def scf_loop(
                 f" hbm {dev_b / 1e9:6.2f}GB" if dev_b is not None else "")
             print(f"{it:4d} {E_elec + e_nuc:20.10f} {dE:12.3e} {d_rms:12.3e} "
                   f"{t_el:8.2f}{mem}")
+        elif t_el > 30.0:
+            # slow-iteration heartbeat (stderr): lets the run_bench_nw.sh
+            # stall watchdog distinguish an hours-long but healthy w64 SCF
+            # from a hung relay op, without polluting quiet small runs
+            import sys
+
+            print(f"# scf iter {it} E={E_elec + e_nuc:.8f} dE={dE:.2e} "
+                  f"rms={d_rms:.2e} t={t_el:.0f}s", file=sys.stderr,
+                  flush=True)
 
         if checkpoint_path and (it % checkpoint_every == 0):
             save_checkpoint(state, checkpoint_path, e_nuc, fingerprint)
@@ -401,6 +410,11 @@ def initial_state(mol, basis, opts: SCFOptions, timings: Timings, output: int = 
     SCF to the real-solid-harmonic basis: the Cartesian one-electron
     matrices are built as usual and projected once — the integral engine
     never changes."""
+    if basis.nbf > 1000:  # phase heartbeat for watchdogged big runs
+        import sys
+
+        print(f"# initial_state: building S/T/V (nbf={basis.nbf})",
+              file=sys.stderr, flush=True)
     with timings.timed(JCTC.H_time):
         S, T, V = overlap_kinetic_nuclear(basis, mol)
     H = T + V

@@ -291,6 +291,12 @@ def three_center_tensor(
     CSIZE_MIN = 64   # smallest useful pair chunk when sizing buckets
     n_launched = 0   # telemetry counter
     memlog = os.environ.get("JCHEM_3C_MEMLOG") == "1"
+    import sys as _sys
+    import time as _time
+    _t_build0 = _time.perf_counter()
+    print(f"# 3c build: {sum(1 for p in pair_blocks if p.n)} pair classes, "
+          f"{len(aux_chunks)} aux chunks, nbf={nbf}", file=_sys.stderr,
+          flush=True)
 
     for pblk in pair_blocks:
         if pblk.n == 0:
@@ -403,13 +409,19 @@ def three_center_tensor(
                     _scatter_block_host(B3, blk[:e - s, :, :m, :],
                                         rows_np, cols[s:e], cols_t[s:e],
                                         mirror[s:e])
-                    if memlog and n_launched % 25 == 0:
-                        st = jax.devices()[0].memory_stats() or {}
-                        print(f"# 3c launch {n_launched} class "
-                              f"({pblk.la},{pblk.lb},{lq}) csize={csize} "
-                              f"hbm={st.get('bytes_in_use', -1)/1e9:.2f}GB "
-                              f"peak={st.get('peak_bytes_in_use', -1)/1e9:.2f}GB",
-                              flush=True)
+                    if n_launched % 25 == 0:
+                        # unconditional heartbeat: a multi-hour w64 build
+                        # with a silent log is indistinguishable from a
+                        # hung relay op (observed 2026-08-19); the device
+                        # memory query stays opt-in
+                        msg = (f"# 3c launch {n_launched} class "
+                               f"({pblk.la},{pblk.lb},{lq}) csize={csize} "
+                               f"t={_time.perf_counter() - _t_build0:.0f}s")
+                        if memlog:
+                            st = jax.devices()[0].memory_stats() or {}
+                            msg += (f" hbm={st.get('bytes_in_use', -1)/1e9:.2f}GB"
+                                    f" peak={st.get('peak_bytes_in_use', -1)/1e9:.2f}GB")
+                        print(msg, file=_sys.stderr, flush=True)
                     s = e
             # Unload this kernel's device executables: each compiled
             # variant is a 45-85 MB TPU program, and a rich-shell system
@@ -423,6 +435,9 @@ def three_center_tensor(
                 kern.clear_cache()
             except Exception:
                 pass
+    print(f"# 3c build done: {n_launched} launches in "
+          f"{_time.perf_counter() - _t_build0:.0f}s", file=_sys.stderr,
+          flush=True)
     if packed:
         B3[:, -1] = 0.0  # trash column (screened-out scatter target)
         return B3

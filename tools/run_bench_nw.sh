@@ -1,13 +1,45 @@
 #!/bin/bash
 # Run bench.py for NW waters; write labeled artifact ONLY on rc=0.
 # Usage: run_bench_nw.sh <NW> <LABEL> [extra bench args]
+#
+# Stall watchdog: the relay can drop an in-flight op without any error
+# surfacing host-side (observed 2026-08-19: w64 3c build silent 1h+, zero
+# CPU, zero socket traffic).  bench runs now emit heartbeats (eri3c launch
+# progress, build_B_packed phase banners, per-iteration SCF lines), so a
+# log silent for STALL_S seconds means a hung relay op: kill that PID and
+# retry ONCE (the df_b_cache makes a post-build retry resume past the
+# build instead of repeating it).
 set -u
 NW="$1"; LABEL="$2"; shift 2
 cd /root/repo
 LOG="runs/bench_${LABEL}.log"
-timeout 21000 python bench.py "$NW" "$@" >"runs/bench_${LABEL}.json.tmp" 2>"$LOG"
+TMP="runs/bench_${LABEL}.json.tmp"
+STALL_S=${STALL_S:-2700}
+
+run_once() {
+  timeout 21000 python bench.py "$NW" "$@" >"$TMP" 2>>"$LOG" &
+  local pid=$!
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 60
+    local age=$(( $(date +%s) - $(stat -c %Y "$LOG" 2>/dev/null || date +%s) ))
+    if [ "$age" -gt "$STALL_S" ]; then
+      echo "# watchdog: log silent ${age}s > ${STALL_S}s; killing $pid" >> "$LOG"
+      kill "$pid" 2>/dev/null; sleep 10; kill -9 "$pid" 2>/dev/null
+      wait "$pid" 2>/dev/null
+      return 99
+    fi
+  done
+  wait "$pid"
+}
+
+run_once "$@"
 rc=$?
-if [ $rc -eq 0 ] && [ -s "runs/bench_${LABEL}.json.tmp" ]; then
+if [ $rc -eq 99 ]; then
+  echo "# watchdog: retrying ${LABEL} once after stall" >> "$LOG"
+  run_once "$@"
+  rc=$?
+fi
+if [ $rc -eq 0 ] && [ -s "$TMP" ]; then
   python - "$LABEL" "$NW" <<'PY'
 import json, sys
 label, nw = sys.argv[1], sys.argv[2]
