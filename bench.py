@@ -265,6 +265,8 @@ def main():
                                      if f32_phase else None),
         }
     out["platform"] = jax.devices()[0].platform
+    out["nw"] = "w50" if W50 else NW  # lets artifact writers reject a
+    # reduced CPU-fallback run masquerading under a big-NW label
     print(
         f"# E={res['Energy']:.8f} converged={res['Converged?']} "
         f"iters={res['Iterations']} total={total:.1f}s fock/iter={fock_per_iter:.3f}s",

@@ -45,13 +45,20 @@ import json, sys
 label, nw = sys.argv[1], sys.argv[2]
 line = open(f"runs/bench_{label}.json.tmp").read().strip().splitlines()[-1]
 out = json.loads(line)
+# refuse to stamp the label onto a reduced CPU-fallback run (bench.py
+# falls back to w4/CPU when the relay is down — VERDICT r3 weak #2)
+if str(out.get("nw")) != str(int(nw)) or out.get("platform") != "tpu":
+    dest = f"BENCH_{label}_fallback.json"
+else:
+    dest = f"BENCH_{label}.json"
 det = json.load(open("BENCH_DETAILS.json"))
 det["config"] = {"nw": int(nw), "label": label, "basis": "6-31+G*",
-                 "aux": "cc-pVTZ-JKFIT"}
-json.dump(det, open(f"BENCH_{label}.json", "w"), indent=1)
+                 "aux": "cc-pVTZ-JKFIT", "actual_nw": out.get("nw"),
+                 "platform": out.get("platform")}
+json.dump(det, open(dest, "w"), indent=1)
 print(json.dumps(out))
 PY
-  git add "BENCH_${LABEL}.json" "$LOG" 2>/dev/null
+  git add "BENCH_${LABEL}.json" "BENCH_${LABEL}_fallback.json" "$LOG" 2>/dev/null
   git commit -q -m "TPU bench artifact: ${LABEL} completed (rc=0)" 2>/dev/null
 else
   echo "bench ${LABEL} FAILED rc=$rc" >> "$LOG"
