@@ -7,8 +7,6 @@ src/rhf/energy/SCF.jl:141-162,1072-1125 and EnergyHelpers.DIIS
 
 from __future__ import annotations
 
-from functools import lru_cache
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -20,6 +18,15 @@ _HOST_SOLVE_FLOPS = 5.0e10
 # compilation — is shared across systems
 _COL_CHUNK = 16384
 _ROW_BUCKET = 256
+# XLA's emulated-f64 dot on TPU expands each operand into bf16[4] + f32[8]
+# HBM temps — 40 B/element per operand, read off the w64 RESOURCE_EXHAUSTED
+# allocation dump (runs/bench_W64_DF.log: bf16[4,10752,16384] +
+# f32[8,10752,16384] for a single [10752,16384] operand).  The fold matmul
+# is therefore blocked over BOTH rows and columns so no kernel's temps
+# exceed this budget; the per-element output cost is bounded at 48 B.
+_FOLD_TEMP_BUDGET = 5.5e9
+_OPERAND_BYTES = 40
+_OUT_BYTES = 48
 
 
 def triangular_inverse(L: np.ndarray) -> np.ndarray:
@@ -34,14 +41,31 @@ def triangular_inverse(L: np.ndarray) -> np.ndarray:
     return Linv
 
 
-@lru_cache(maxsize=8)
-def _linv_matmul(Ap: int, cb: int):
-    # compute ALWAYS in f64: the fold matrix carries cond(metric)^(1/2)
-    # dynamic range, and an f32 matmul loses ~cond * eps_f32 — measured
-    # 3e-3 Eh on S02, outside the DF gate.  f32 inputs/outputs only halve
-    # the relay transfer bytes; the MXU sees f64.
-    return jax.jit(
-        lambda Li, X: (Li @ X.astype(Li.dtype)).astype(X.dtype))
+# compute ALWAYS in f64: the fold matrix carries cond(metric)^(1/2)
+# dynamic range, and an f32 matmul loses ~cond * eps_f32 — measured
+# 3e-3 Eh on S02, outside the DF gate.  f32 inputs/outputs only halve
+# the relay transfer bytes; the MXU sees f64.
+_linv_matmul = jax.jit(
+    lambda Li, X: (Li @ X.astype(Li.dtype)).astype(X.dtype))
+
+
+def _fold_block_shape(Ap: int, budget: float = _FOLD_TEMP_BUDGET):
+    """(row_block R, col_chunk C) for the fold matmul M[R,Ap] @ X[Ap,C]:
+    the largest MXU-friendly tiles whose emulated-f64 temps
+    (40*(R*Ap + Ap*C) operand expansions + 48*R*C output) fit the budget.
+    All row blocks share one shape (R divides the padded row count evenly)
+    so a single compiled kernel serves the whole fold."""
+    # columns first: bound the X-operand expansion to ~a third of budget
+    C = min(_COL_CHUNK, int(budget / (3 * _OPERAND_BYTES * Ap)))
+    C = max(_ROW_BUCKET, (C // _ROW_BUCKET) * _ROW_BUCKET)
+    rem = budget - _OPERAND_BYTES * Ap * C
+    r_max = int(rem / (_OPERAND_BYTES * Ap + _OUT_BYTES * C))
+    if r_max >= Ap:
+        return Ap, C
+    r_allowed = max(_ROW_BUCKET, (r_max // _ROW_BUCKET) * _ROW_BUCKET)
+    n_blocks = -(-Ap // r_allowed)
+    R = -(-Ap // (n_blocks * _ROW_BUCKET)) * _ROW_BUCKET
+    return R, C
 
 
 def apply_triangular_inverse(L: np.ndarray, B: np.ndarray) -> np.ndarray:
@@ -60,8 +84,11 @@ def apply_triangular_inverse(L: np.ndarray, B: np.ndarray) -> np.ndarray:
 
 
 def _apply_square(M: np.ndarray, B: np.ndarray) -> np.ndarray:
-    """In-place B <- M B for a square [A, A] fold matrix, chunked over
-    columns through the device matmul above the host-dgemm crossover.
+    """In-place B <- M B for a square [A, A] fold matrix, blocked over
+    rows AND columns through the device matmul above the host-dgemm
+    crossover (w32+: an unblocked [10752,10752]x[10752,16384] emulated-f64
+    kernel needs >16 GB of operand-expansion temps and killed the round-4
+    w64 run at compile time — runs/bench_W64_DF.log).
     Runs in B's dtype: an f32 B (the w64-class transfer-halving option)
     folds as an f32 MXU matmul and moves f32 bytes both ways."""
     A, ncols = B.shape
@@ -70,17 +97,27 @@ def _apply_square(M: np.ndarray, B: np.ndarray) -> np.ndarray:
         B[...] = M @ B.astype(np.float64, copy=False)
         return B
     Ap = -(-A // _ROW_BUCKET) * _ROW_BUCKET
+    R, C = _fold_block_shape(Ap)
+    # M row blocks stay device-resident across the whole fold (one h2d)
     Mp = np.zeros((Ap, Ap))
     Mp[:A, :A] = M
-    Mj = jnp.asarray(Mp)
-    kern = _linv_matmul(Ap, _COL_CHUNK)
-    buf = np.zeros((Ap, _COL_CHUNK), dtype=B.dtype)
-    for s in range(0, ncols, _COL_CHUNK):
-        w = min(_COL_CHUNK, ncols - s)
+    M_rows = [jnp.asarray(Mp[r:r + R]) if r + R <= Ap
+              else jnp.asarray(np.vstack([Mp[r:], np.zeros((r + R - Ap, Ap))]))
+              for r in range(0, Ap, R)]
+    del Mp
+    buf = np.zeros((Ap, C), dtype=B.dtype)
+    for s in range(0, ncols, C):
+        w = min(C, ncols - s)
         buf[:A, :w] = B[:, s:s + w]
-        if w < _COL_CHUNK:
+        if w < C:
             buf[:, w:] = 0.0
-        B[:, s:s + w] = np.asarray(kern(Mj, jnp.asarray(buf)))[:A, :w]
+        Xj = jnp.asarray(buf)
+        for i, Mr in enumerate(M_rows):
+            out = np.asarray(_linv_matmul(Mr, Xj))
+            r0 = i * R
+            r1 = min(r0 + R, A)
+            if r0 < A:
+                B[r0:r1, s:s + w] = out[: r1 - r0, :w]
     return B
 
 
