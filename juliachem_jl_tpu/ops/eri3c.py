@@ -124,56 +124,67 @@ def _csize_cache_update(key: str, csize: int) -> None:
 
 @lru_cache(maxsize=None)
 def _threecenter_compute_kernel(la: int, lb: int, Ka: int, Kb: int,
-                                aux_meta: tuple):
+                                lq: int, Kq: int, nq_pad: int,
+                                out_f32: bool = False):
     """Jitted 3-center COMPUTE kernel: a chunk of bra pairs against a
-    bucket of auxiliary classes (aux_meta = ((lq, Kq, nq_pad), ...)),
-    returning one [Pc, nab, Nq, ncq] block per class.
+    padded batch of nq_pad same-class auxiliary shells, returning one
+    [Pc, nab, nq_pad, ncq] block.
 
     Key optimizations over quartet-batching:
     * the bra Hermite expansion Eab is computed once per *pair chunk* and
-      reused across every auxiliary class (previously recomputed per class);
-    * one kernel launch (and one compile) per (pair class x aux bucket)
-      instead of one per (pair class x aux class) — the remote-relay
-      compile latency is the dominant cold-start cost of the B build;
+      reused across the whole auxiliary batch;
+    * the pair chunk arrives as ONE packed [Pc, 2Ka+2Kb+7] array
+      (aexp|acoef|bexp|bcoef|A|B|valid) — a single h2d RPC per pair chunk
+      instead of seven through the high-latency relay (round-4's serial
+      per-launch uploads dominated the w16 build at ~3.4 s/launch);
+    * the f32 cast for the d2h pull happens IN-kernel (out_f32), so the
+      relay moves half the bytes with no extra dispatch;
     * deliberately FREE of the B workspace: the workspace shape is
       molecule-sized (exact A x npq+1), and baking it into this kernel
       keyed every expensive recurrence compile (45-85 MB executables,
       minutes each through the relay) to the exact molecule — the
       per-molecule compile wall that dominated the S22 sweep.  These
-      kernels now key only on class/bucket metadata shared across every
-      molecule in a basis family; the molecule-shaped scatter lives in the
-      tiny _threecenter_scatter_kernel (seconds to compile).
+      kernels now key only on class/batch metadata shared across every
+      molecule in a basis family; the molecule-shaped scatter lives on the
+      host (_scatter_block_host).
     """
-    def f(aexp, bexp, acoef, bcoef, A, B, valid, *qflat):
-        # bra pairs (shared across aux classes)
+    def f(packed, qexp, qcoef, Qc):
+        o = 0
+        aexp = packed[:, o:o + Ka]; o += Ka
+        acoef = packed[:, o:o + Ka]; o += Ka
+        bexp = packed[:, o:o + Kb]; o += Kb
+        bcoef = packed[:, o:o + Kb]; o += Kb
+        A = packed[:, o:o + 3]; o += 3
+        B = packed[:, o:o + 3]; o += 3
+        valid = packed[:, o]
+        # bra pairs (shared across the aux batch)
         Eab, p, P = bra_hermite(la, lb, aexp, bexp, acoef, bcoef, A, B)
         Lb = la + lb
         vmask = valid[:, None, None, None]
 
-        outs = []
-        for ci, (lq, Kq, nq_pad) in enumerate(aux_meta):
-            qexp, qcoef, Qc = qflat[3 * ci: 3 * ci + 3]
-            L = Lb + lq
-            comb, sign = combine_tables(Lb, lq)
-            sgn = jnp.asarray(sign)
-            zq = jnp.zeros_like(qexp)
-            Ecd, q, Qcen = bra_hermite(lq, 0, qexp, zq, qcoef,
-                                       jnp.ones_like(qcoef), Qc, Qc)
-            # P: [Pc, K2b, 3]; Qcen: [Nq, Kq, 3]
-            PQ = P[:, :, None, None, :] - Qcen[None, None, :, :, :]
-            psum = p[:, :, None, None] + q[None, None, :, :]
-            alpha = p[:, :, None, None] * q[None, None, :, :] / psum
-            Targ = alpha * jnp.sum(PQ**2, axis=-1)
-            pref = TWO_PI_POW_2_5 / (
-                p[:, :, None, None] * q[None, None, :, :] * jnp.sqrt(psum))
-            F = boys(Targ, L) * pref[..., None]
-            R = r_tensor(L, alpha, PQ, F)            # [Pc,K2b,Nq,Kq,nherm]
-            M = R[..., comb] * sgn[None, None, None, None, None, :]
-            # contract aux primitives+hermite: T1[Pc,K2b,h,Nq,c]
-            T1 = jnp.einsum("pkqrhg,qrcg->pkhqc", M, Ecd)
-            out = jnp.einsum("pkah,pkhqc->paqc", Eab, T1)  # [Pc,nab,Nq,ncq]
-            outs.append(out * vmask)
-        return tuple(outs)
+        L = Lb + lq
+        comb, sign = combine_tables(Lb, lq)
+        sgn = jnp.asarray(sign)
+        zq = jnp.zeros_like(qexp)
+        Ecd, q, Qcen = bra_hermite(lq, 0, qexp, zq, qcoef,
+                                   jnp.ones_like(qcoef), Qc, Qc)
+        # P: [Pc, K2b, 3]; Qcen: [Nq, Kq, 3]
+        PQ = P[:, :, None, None, :] - Qcen[None, None, :, :, :]
+        psum = p[:, :, None, None] + q[None, None, :, :]
+        alpha = p[:, :, None, None] * q[None, None, :, :] / psum
+        Targ = alpha * jnp.sum(PQ**2, axis=-1)
+        pref = TWO_PI_POW_2_5 / (
+            p[:, :, None, None] * q[None, None, :, :] * jnp.sqrt(psum))
+        F = boys(Targ, L) * pref[..., None]
+        R = r_tensor(L, alpha, PQ, F)            # [Pc,K2b,Nq,Kq,nherm]
+        M = R[..., comb] * sgn[None, None, None, None, None, :]
+        # contract aux primitives+hermite: T1[Pc,K2b,h,Nq,c]
+        T1 = jnp.einsum("pkqrhg,qrcg->pkhqc", M, Ecd)
+        out = jnp.einsum("pkah,pkhqc->paqc", Eab, T1)  # [Pc,nab,Nq,ncq]
+        out = out * vmask
+        if out_f32:
+            out = out.astype(jnp.float32)
+        return out
 
     return jax.jit(f)
 
@@ -262,13 +273,13 @@ def three_center_tensor(
     from .class_tables import nherm as _nherm
 
     # Fixed canonical aux chunk: every aux class is processed in chunks of
-    # exactly NQ_CHUNK shells (padding the tail), so aux_meta — and with it
-    # every expensive compute-kernel compile — is identical for every
-    # molecule sharing a basis family.  Power-of-two per-molecule pads
+    # exactly NQ_CHUNK shells (padding the tail), so the aux batch shape —
+    # and with it every expensive compute-kernel compile — is identical for
+    # every molecule sharing a basis family.  Power-of-two per-molecule pads
     # (the round-2 scheme) still keyed kernels to the molecule's aux
     # shell counts, recompiling 45-85 MB executables per system.
     NQ_CHUNK = 64
-    aux_chunks = []  # (meta, qexp_j, qcoef_j, Qc_j, rows_np, m_valid)
+    aux_groups: dict = {}  # (lq, Kq) -> [(qexp, qcoef, Qc, rows_np, m)]
     for aux_blk in aux_unit_blocks(aux):
         ncq = ncart(aux_blk.la)
         nq = aux_blk.n
@@ -283,20 +294,104 @@ def three_center_tensor(
             Qc[:m] = aux_blk.A[q0:q1]
             rows = (aux_blk.off_a[q0:q1, None]
                     + np.arange(ncq)[None, :]).astype(np.int64)
-            meta = (aux_blk.la, aux_blk.aexp.shape[1], NQ_CHUNK)
-            aux_chunks.append((meta, jnp.asarray(qexp), jnp.asarray(qcoef),
-                               jnp.asarray(Qc), rows, m))
+            aux_groups.setdefault((aux_blk.la, aux_blk.aexp.shape[1]),
+                                  []).append((qexp, qcoef, Qc, rows, m))
 
     BUDGET = 1.2e8   # R-tensor working-set elements per kernel launch
     CSIZE_MIN = 64   # smallest useful pair chunk when sizing buckets
+    OUT_BUDGET = 3.0e7  # output-block elements per launch (d2h granularity)
     n_launched = 0   # telemetry counter
     memlog = os.environ.get("JCHEM_3C_MEMLOG") == "1"
     import sys as _sys
     import time as _time
     _t_build0 = _time.perf_counter()
     print(f"# 3c build: {sum(1 for p in pair_blocks if p.n)} pair classes, "
-          f"{len(aux_chunks)} aux chunks, nbf={nbf}", file=_sys.stderr,
-          flush=True)
+          f"{sum(len(v) for v in aux_groups.values())} aux chunks, nbf={nbf}",
+          file=_sys.stderr, flush=True)
+
+    def _pow2_floor(v: int) -> int:
+        return 1 << (max(int(v), 1).bit_length() - 1)
+
+    # depth-1 pipeline: at most one launch's output in flight.  The pull
+    # (np.asarray) of launch i overlaps the device execution of launch i+1,
+    # hiding the smaller of (d2h, compute) per launch.  Each pending entry
+    # carries everything needed to scatter — and to RE-RUN the unit at a
+    # smaller chunk when the deferred async failure of the axon relay
+    # surfaces at the pull (B3 is host-resident, so nothing is poisoned and
+    # the retry is sound; see the accumulator comment above).
+    pending: list = []  # [out_dev, scatter_ctx, retry_ctx]
+
+    def _drain():
+        nonlocal n_launched
+        if not pending:
+            return
+        out_dev, (subs, s, e, cols_pc, cols_t_pc, mirror_pc), retry = \
+            pending.pop()
+        try:
+            blk = np.asarray(out_dev)
+        except Exception as exc:
+            if not _is_compile_or_resource_error(exc):
+                raise
+            _retry_unit_sync(retry)
+            return
+        n_launched += 1
+        # scatter each valid aux sub-chunk of the batched output
+        for g, c in enumerate(subs):
+            rows_np, m = c[3], c[4]
+            _scatter_block_host(
+                B3, blk[:e - s, :, g * NQ_CHUNK: g * NQ_CHUNK + m, :],
+                rows_np, cols_pc[s:e], cols_t_pc[s:e], mirror_pc[s:e])
+        if n_launched % 25 == 0:
+            # unconditional heartbeat: a multi-hour w64 build with a
+            # silent log is indistinguishable from a hung relay op
+            # (observed 2026-08-19); the device memory query stays opt-in
+            msg = (f"# 3c launch {n_launched} "
+                   f"t={_time.perf_counter() - _t_build0:.0f}s")
+            if memlog:
+                st = jax.devices()[0].memory_stats() or {}
+                msg += (f" hbm={st.get('bytes_in_use', -1)/1e9:.2f}GB"
+                        f" peak={st.get('peak_bytes_in_use', -1)/1e9:.2f}GB")
+            print(msg, file=_sys.stderr, flush=True)
+
+    def _retry_unit_sync(retry) -> None:
+        """Re-run one failed launch unit synchronously, unbatched (G=1) and
+        with a shrinking pair chunk.  Failures are rare once the csize seed
+        has learned this hardware, so the fallback favors soundness over
+        speed: one aux chunk per launch, immediate pull, nothing in flight."""
+        (kla, klb, Ka, Kb, lq, Kq, packed_h, s, e, subs_full,
+         cols_pc, cols_t_pc, mirror_pc, ck, nb0) = retry
+        import warnings
+
+        nb = max(32, nb0 // 4)
+        _csize_cache_update(ck, nb)
+        warnings.warn(
+            f"3-center launch failed for class (la={kla},lb={klb},lq={lq}); "
+            f"retrying unbatched with row budget {nb}", stacklevel=2)
+        kern1 = _threecenter_compute_kernel(kla, klb, Ka, Kb, lq, Kq,
+                                            NQ_CHUNK, cast32)
+        for qexp, qcoef, Qc, rows_np, m in subs_full:
+            bflat = (jnp.asarray(qexp), jnp.asarray(qcoef), jnp.asarray(Qc))
+            cs = _pow2_floor(nb)
+            si = s
+            while si < e:
+                ei = min(si + cs, e)
+                ph = packed_h[si:ei]
+                if ei - si < cs:
+                    fill = np.repeat(ph[:1], cs - (ei - si), axis=0)
+                    fill[:, -1] = 0.0  # valid column
+                    ph = np.concatenate([ph, fill], axis=0)
+                try:
+                    blk = np.asarray(kern1(jnp.asarray(ph), *bflat))
+                except Exception as exc:
+                    if not _is_compile_or_resource_error(exc) or cs <= 32:
+                        raise
+                    cs = max(32, cs // 4)
+                    _csize_cache_update(ck, cs)
+                    continue
+                _scatter_block_host(B3, blk[:ei - si, :, :m, :], rows_np,
+                                    cols_pc[si:ei], cols_t_pc[si:ei],
+                                    mirror_pc[si:ei])
+                si = ei
 
     for pblk in pair_blocks:
         if pblk.n == 0:
@@ -310,29 +405,16 @@ def three_center_tensor(
         mirror = pblk.ish != pblk.jsh                    # [n] bool
 
         n = pblk.n
-        k2b = pblk.aexp.shape[1] * pblk.bexp.shape[1]
+        Ka, Kb = pblk.aexp.shape[1], pblk.bexp.shape[1]
+        k2b = Ka * Kb
+        nab = int(np.prod(pblk.nbf_block))
+        # ONE packed host array per pair class: a single h2d RPC per pair
+        # chunk replaces seven (aexp/bexp/acoef/bcoef/A/B/valid)
+        packed_h = np.concatenate(
+            [pblk.aexp, pblk.acoef, pblk.bexp, pblk.bcoef,
+             pblk.A, pblk.B, np.ones((n, 1))], axis=1)
 
-        # One compute kernel per DISTINCT aux class type (lq, Kq, NQ_CHUNK):
-        # every shape in the kernel key — pair class, contraction degrees,
-        # fixed aux chunk, work-budget csize — is molecule-independent, so
-        # the expensive compiles are shared across every molecule of a
-        # basis family (cold compile once per sweep, not once per system).
-        # Per-kernel working set [csize, K2b, NQ_CHUNK, Kq, nherm] stays
-        # under BUDGET via csize (the unbounded whole-basis fusion
-        # segfaulted the XLA CPU compiler and RESOURCE_EXHAUSTed the TPU
-        # at w16).
-        arrays = [pblk.aexp, pblk.bexp, pblk.acoef, pblk.bcoef,
-                  pblk.A, pblk.B, np.ones(n)]
-
-        groups: dict = {}  # (lq, Kq, NQ_CHUNK) -> [aux chunk]
-        for chk in aux_chunks:
-            groups.setdefault(chk[0], []).append(chk)
-
-        for meta, chks in groups.items():
-            lq, Kq, nq_pad = meta
-            kern = _threecenter_compute_kernel(
-                pblk.la, pblk.lb, pblk.aexp.shape[1], pblk.bexp.shape[1],
-                (meta,))
+        for (lq, Kq), chks in aux_groups.items():
             # per-pair-row, per-primitive-pair working set: the largest of
             # the R tensor [NQ,Kq,nherm(L)], its comb-expanded gather M
             # [NQ,Kq,nherm(Lb),nherm(lq)] and the T1 einsum intermediate
@@ -341,9 +423,10 @@ def three_center_tensor(
             # classes (observed: (la=0,lb=2,lq=4), 2 failed relay compiles
             # per process before the retry loop landed on a working chunk)
             Lb2 = pblk.la + pblk.lb
-            w = nq_pad * max(Kq * _nherm(Lb2 + lq),
-                             Kq * _nherm(Lb2) * _nherm(lq),
-                             _nherm(Lb2) * ncart(lq))
+            ncq = ncart(lq)
+            w = NQ_CHUNK * max(Kq * _nherm(Lb2 + lq),
+                               Kq * _nherm(Lb2) * _nherm(lq),
+                               _nherm(Lb2) * ncq)
             # Empirical relay-measured budget (2026-08-18 probes): the
             # L=10 class (3,3|g) executes cleanly at an estimated working
             # set of 4.8e7 elements (csize 256, 3 reps + transfer) but at
@@ -355,86 +438,77 @@ def three_center_tensor(
             # shrunk budget.  L <= 9 keeps the full budget (proven:
             # (2,3|g) L=9 at 6.9e7 and every w16 class at L <= 8).
             budget = BUDGET if (Lb2 + lq) < 10 else 5.0e7
-            csize = int(budget / max(k2b * w, 1))
-            csize = max(CSIZE_MIN, min(chunk, csize))
-            # round to power-of-two bucket to bound compile variants
-            csize = 1 << (csize.bit_length() - 1)
-            ck = (f"{_device_kind()}:{pblk.la},{pblk.lb},"
-                  f"{pblk.aexp.shape[1]},{pblk.bexp.shape[1]},"
-                  f"{lq},{Kq},{nq_pad}")
-            csize = min(csize, _csize_cache().get(ck, csize))
+            # nb: pair-row budget at one NQ_CHUNK aux batch (G=1).  The
+            # learned cache stores the proven nb for this class shape; G
+            # (aux chunks fused per launch) spends whatever budget the
+            # `chunk` cap on the pair axis leaves unused — the per-launch
+            # working set scales with csize*G, so fusing aux chunks into
+            # one launch cuts launch count for cheap classes at identical
+            # memory pressure.
+            nb = int(budget / max(k2b * w, 1))
+            ck = f"{_device_kind()}:{pblk.la},{pblk.lb},{Ka},{Kb},{lq},{Kq},{NQ_CHUNK}"
+            nb = min(nb, _csize_cache().get(ck, nb))
+            csize = _pow2_floor(max(CSIZE_MIN, min(chunk, nb)))
+            G = max(1, min(len(chks), nb // csize,
+                           int(OUT_BUDGET / max(csize * nab * NQ_CHUNK * ncq, 1))))
+            G = _pow2_floor(G)
 
-            for _, qexp_j, qcoef_j, Qc_j, rows_np, m in chks:
-                bflat = (qexp_j, qcoef_j, Qc_j)
-                s = 0
-                while s < n:
-                    e = min(s + csize, n)
-                    ch = []
-                    for x in arrays:
-                        xs = x[s:e]
-                        if e - s < csize:  # pad the tail launch
-                            fill = np.repeat(xs[:1], csize - (e - s), axis=0)
-                            if x is arrays[6]:  # valid mask: pads invalid
-                                fill = np.zeros(csize - (e - s))
-                            xs = np.concatenate([xs, fill], axis=0)
-                        ch.append(jnp.asarray(xs))
+            # batch G aux chunks into one padded launch batch
+            batches = []
+            for i in range(0, len(chks), G):
+                sub = chks[i:i + G]
+                npad = G - len(sub)
+                qe = np.concatenate([c[0] for c in sub]
+                                    + [np.ones((NQ_CHUNK * npad, Kq))] * (npad > 0))
+                qc = np.concatenate([c[1] for c in sub]
+                                    + [np.zeros((NQ_CHUNK * npad, Kq))] * (npad > 0))
+                qx = np.concatenate([c[2] for c in sub]
+                                    + [np.zeros((NQ_CHUNK * npad, 3))] * (npad > 0))
+                batches.append((jnp.asarray(qe), jnp.asarray(qc),
+                                jnp.asarray(qx), sub))
+
+            kern = _threecenter_compute_kernel(pblk.la, pblk.lb, Ka, Kb,
+                                               lq, Kq, G * NQ_CHUNK, cast32)
+            s = 0
+            while s < n:
+                e = min(s + csize, n)
+                ph = packed_h[s:e]
+                if e - s < csize:  # pad the tail launch
+                    fill = np.repeat(ph[:1], csize - (e - s), axis=0)
+                    fill[:, -1] = 0.0  # valid column
+                    ph = np.concatenate([ph, fill], axis=0)
+                ch = jnp.asarray(ph)   # one h2d per pair chunk, all batches
+                for qe_j, qc_j, qx_j, sub in batches:
+                    retry = (pblk.la, pblk.lb, Ka, Kb, lq, Kq, packed_h,
+                             s, e, sub, cols, cols_t, mirror, ck, csize * G)
                     try:
-                        out, = kern(*ch, *bflat)
-                        if cast32:
-                            out = out.astype(jnp.float32)
-                        # immediate d2h: blocks until the launch really
-                        # executed, so a deferred async failure surfaces
-                        # HERE with nothing else in flight — the retry
-                        # below is then sound (B3 lives on host; no device
-                        # state to poison)
-                        blk = np.asarray(out)
+                        out = kern(ch, qe_j, qc_j, qx_j)
                     except Exception as exc:
-                        # remote TPU compile helper can fail on very large
-                        # kernel working sets; back off to smaller chunks.
-                        # Only compile/resource failures are retryable —
-                        # numerical or shape bugs must surface.
-                        if (not _is_compile_or_resource_error(exc)
-                                or csize <= 32):
+                        # dispatch/compile-time failure: only compile or
+                        # resource errors are retryable — numerical or
+                        # shape bugs must surface
+                        if not _is_compile_or_resource_error(exc):
                             raise
-                        csize = max(32, csize // 4)
-                        _csize_cache_update(ck, csize)
-                        import warnings
-
-                        warnings.warn(
-                            f"3-center kernel launch failed for class "
-                            f"(la={pblk.la},lb={pblk.lb},lq={lq}); "
-                            f"retrying with chunk {csize}", stacklevel=2)
+                        _retry_unit_sync(retry)
                         continue
-                    n_launched += 1
-                    _scatter_block_host(B3, blk[:e - s, :, :m, :],
-                                        rows_np, cols[s:e], cols_t[s:e],
-                                        mirror[s:e])
-                    if n_launched % 25 == 0:
-                        # unconditional heartbeat: a multi-hour w64 build
-                        # with a silent log is indistinguishable from a
-                        # hung relay op (observed 2026-08-19); the device
-                        # memory query stays opt-in
-                        msg = (f"# 3c launch {n_launched} class "
-                               f"({pblk.la},{pblk.lb},{lq}) csize={csize} "
-                               f"t={_time.perf_counter() - _t_build0:.0f}s")
-                        if memlog:
-                            st = jax.devices()[0].memory_stats() or {}
-                            msg += (f" hbm={st.get('bytes_in_use', -1)/1e9:.2f}GB"
-                                    f" peak={st.get('peak_bytes_in_use', -1)/1e9:.2f}GB")
-                        print(msg, file=_sys.stderr, flush=True)
-                    s = e
+                    _drain()  # pull previous launch while this one runs
+                    pending.append((out, (sub, s, e, cols, cols_t, mirror),
+                                    retry))
+                s = e
+            _drain()  # settle before unloading this kernel's executables
             # Unload this kernel's device executables: each compiled
             # variant is a 45-85 MB TPU program, and a rich-shell system
-            # visits O(pair classes x aux groups) = 100+ variants (plus
-            # csize-retry shapes).  Keeping them all loaded for the whole
-            # build crowds HBM with PROGRAM memory.  The (pair class, aux
-            # group) pair is never revisited, and the persistent on-disk
-            # cache (~/.cache/jchem_xla) makes a reload by a later
-            # molecule a disk read, not a recompile.
+            # visits O(pair classes x aux groups) = 100+ variants.
+            # Keeping them all loaded for the whole build crowds HBM with
+            # PROGRAM memory.  The (pair class, aux group) pair is never
+            # revisited, and the persistent on-disk cache
+            # (~/.cache/jchem_xla) makes a reload by a later molecule a
+            # disk read, not a recompile.
             try:
                 kern.clear_cache()
             except Exception:
                 pass
+    _drain()
     print(f"# 3c build done: {n_launched} launches in "
           f"{_time.perf_counter() - _t_build0:.0f}s", file=_sys.stderr,
           flush=True)

@@ -243,3 +243,46 @@ def test_fdiff_f32_incremental_scf(system):
     assert abs(e_ref["Energy"] - e_inc["Energy"]) < 1e-8
     tk = e_inc["Timings"].timings
     assert any(k.startswith("fock_f32-") for k in tk)
+
+
+def test_device_3c_retry_fallback(monkeypatch):
+    """When a batched 3-center launch dies with a resource/compile-class
+    error (the axon relay surfaces async OOMs only at the d2h pull), the
+    builder must fall back to the synchronous unbatched path and still
+    produce the exact tensor.  Forces the failure by making the first
+    batched kernel invocation raise."""
+    from juliachem_jl_tpu.ops import eri3c
+
+    mol = molecule.from_input_dict({
+        "symbols": ["H", "H"], "geometry": [0.0, 0.0, 0.0, 0.0, 0.0, 0.74]})
+    b = CalculationBasisSets(
+        basis.build(mol, "6-31G"),
+        basis.build_auxiliary(mol, "cc-pVDZ-JKFIT", "6-31G"),
+    )
+    B_host = eri3c.three_center_tensor(b.primary, b.auxiliary)
+
+    real_factory = eri3c._threecenter_compute_kernel
+    fail = {"n": 2}
+
+    def flaky_factory(*args, **kw):
+        kern = real_factory(*args, **kw)
+
+        def wrapped(*a, **k):
+            if fail["n"] > 0:
+                fail["n"] -= 1
+                raise MemoryError("RESOURCE_EXHAUSTED: injected test failure")
+            return kern(*a, **k)
+
+        wrapped.clear_cache = getattr(kern, "clear_cache", lambda: None)
+        return wrapped
+
+    monkeypatch.setattr(eri3c, "_threecenter_compute_kernel", flaky_factory)
+    monkeypatch.setenv("JCHEM_FORCE_DEVICE_3C", "1")
+    # isolate the learned-cap cache so the injected failure cannot
+    # pessimize real runs on this machine
+    monkeypatch.setattr(eri3c, "_csize_data", dict(eri3c._csize_cache()))
+    monkeypatch.setattr(eri3c, "_csize_cache_update",
+                        lambda key, csize: None)
+    B_dev = eri3c.three_center_tensor(b.primary, b.auxiliary)
+    assert fail["n"] == 0  # the injected failures actually fired
+    assert np.abs(B_dev - B_host).max() < 1e-11
