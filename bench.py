@@ -107,12 +107,73 @@ def _other_chip_users() -> list:
     return pids
 
 
+def _xla_cache_warm() -> bool:
+    """Heuristic cold-VM detector: a recycled VM loses ~/.cache/jchem_xla
+    and every kernel pays a 30-60 s relay compile once."""
+    import os
+
+    root = os.path.join(os.path.expanduser("~"), ".cache", "jchem_xla")
+    try:
+        total = sum(e.stat().st_size for e in os.scandir(root)
+                    if e.is_file())
+        return total > 5.0e7
+    except OSError:
+        return False
+
+
+def _b_cached(nw: int) -> bool:
+    import os
+
+    return (os.path.exists(f"runs/w{nw}_B_B.npy")
+            and os.path.exists(f"runs/w{nw}_B_screen.npz"))
+
+
+def _estimate_cost_s(nw: int) -> float:
+    """Conservative wall estimate for one DF bench at NW waters on the
+    relay chip.  Build numbers are round-4/5 measurements (BENCH_W16_R04:
+    1267 s full warm build pre-3c-redesign; the redesign targets ~half);
+    the ~N^2 scaling extrapolates between measured points."""
+    build = {4: 60, 8: 200, 12: 420, 16: 750}.get(
+        nw, 750.0 * (nw / 16.0) ** 2)
+    scf = {4: 25, 8: 50, 12: 75, 16: 110}.get(nw, 110.0 * (nw / 16.0) ** 2)
+    cost = scf + (0.0 if _b_cached(nw) else build)
+    if not _xla_cache_warm():
+        # cold compile cache: every SCF/fold/3c kernel recompiles through
+        # the remote relay (30-60 s each)
+        cost = cost * 1.3 + 450.0
+    return cost
+
+
+def _pick_nw(requested: int, remaining_s: float):
+    """Largest NW from the downshift ladder whose conservative estimate
+    fits 75% of the remaining budget.  VERDICT r4 #1: a bench that only
+    completes when a human watches it is not a bench — SOME honest TPU
+    headline with a true nw label must always print before the clock."""
+    ladder = [nw for nw in (requested, 12, 8, 4) if nw <= requested]
+    for nw in ladder:
+        est = _estimate_cost_s(nw)
+        if est <= 0.75 * remaining_s:
+            if nw != requested:
+                print(f"# bench: downshifted w{requested} -> w{nw} "
+                      f"(estimate {est:.0f}s vs budget {remaining_s:.0f}s, "
+                      f"B_cached={_b_cached(nw)}, "
+                      f"xla_warm={_xla_cache_warm()})", file=sys.stderr,
+                      flush=True)
+            return nw
+    return ladder[-1]
+
+
 def main():
     import os
 
-    deadline = time.time() + 5400.0
+    t_start = time.time()
+    # hard wall budget for the whole bench (driver end-of-round timeouts
+    # killed BENCH_r03/r04 mid-build; now the bench plans to finish INSIDE
+    # the clock: NW downshift + SCF wall_deadline + cached B)
+    budget = float(os.environ.get("JCHEM_BENCH_BUDGET_S", "1200"))
+    deadline = t_start + budget
     busy = _other_chip_users()
-    while busy and time.time() < deadline:
+    while busy and time.time() < deadline - 600.0:
         print(f"# waiting for other chip users {busy} "
               "(single-tenant relay)", file=sys.stderr)
         time.sleep(30.0)
@@ -154,6 +215,7 @@ def main():
     from juliachem_jl_tpu.models import rhf
     from juliachem_jl_tpu.utils.timings import JCTC
 
+    nw = NW
     if W50:
         spec = io.read_input("/root/reference/example_inputs/w50.json")
         mol = molecule.from_input_dict(spec.molecule)
@@ -161,10 +223,12 @@ def main():
         scf_flags = {"scf_type": "rhf" if CONV else "df", "niter": 60,
                      "dele": 1e-8, "rmsd": 1e-6, "guess": "sad"}
     else:
+        if not CONV and os.environ.get("JCHEM_BENCH_NO_DOWNSHIFT") != "1":
+            nw = _pick_nw(NW, deadline - time.time())
         spec = io.read_input(
             "/root/reference/example_inputs/Water/7_6/water_7.6.json")
-        symbols = spec.molecule["symbols"][: 3 * NW]
-        geometry = spec.molecule["geometry"][: 9 * NW]
+        symbols = spec.molecule["symbols"][: 3 * nw]
+        geometry = spec.molecule["geometry"][: 9 * nw]
         mol = molecule.from_input_dict(
             {"symbols": symbols, "geometry": geometry, "molecular_charge": 0}
         )
@@ -173,11 +237,15 @@ def main():
         # (example_inputs/Water/7_6/water_7.6.json: dele=1.0, rmsd=2e-5)
         scf_flags = {"scf_type": "rhf" if CONV else "df", "niter": 50,
                      "dele": 1.0, "rmsd": 2e-5, "guess": "sad"}
-        if NW >= 32 and not CONV:
-            # hours-long B builds must survive TPU VM recycles: cache the
-            # folded B + screen on disk and resume past the build
-            scf_flags["df_b_cache"] = f"runs/w{NW}_B"
-        if NW >= 48 and not CONV:
+        if not CONV:
+            # B builds must survive TPU VM recycles AND make the next bench
+            # of the same NW skip its most expensive phase entirely: cache
+            # the folded B + screen on disk at EVERY size (VERDICT r4 #1)
+            scf_flags["df_b_cache"] = f"runs/w{nw}_B"
+            # stop the SCF before an iteration that would blow the budget;
+            # partial per-iteration timings still yield the headline mean
+            scf_flags["wall_deadline"] = deadline - 60.0
+        if nw >= 48 and not CONV:
             # the w64-class B is ~50 GB and every B-sized relay transfer
             # runs at d2h 16 MB/s; f32 storage halves build/fold/stream
             # bytes at a deterministic ~1e-5 Eh DF fixed-point shift
@@ -191,7 +259,7 @@ def main():
             basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", primary_name),
         )
     print(
-        f"# bench: {'w50' if W50 else f'{NW} waters'}, "
+        f"# bench: {'w50' if W50 else f'{nw} waters'}, "
         f"nbf={bsets.primary.nbf}, naux={bsets.auxiliary.nbf}, "
         f"device={jax.devices()[0].platform}",
         file=sys.stderr,
@@ -240,7 +308,7 @@ def main():
             "iterations": res["Iterations"],
             "converged": bool(res["Converged?"]),
         }
-    elif NW == 64:
+    elif nw == 64:
         # the direct same-system headline: reference w7.6 total benchmark
         # time 2316.0 s (112-thread Skylake, BASELINE.md) vs our DF
         # time-to-converged at the reference's own convergence keywords
@@ -254,9 +322,9 @@ def main():
             "converged": bool(res["Converged?"]),
         }
     else:
-        ref_scaled = REF_SECONDS_PER_ITER_W64 * (NW / 64.0) ** 2
+        ref_scaled = REF_SECONDS_PER_ITER_W64 * (nw / 64.0) ** 2
         out = {
-            "metric": f"df_rhf_fock_build_s_per_iter_w{NW}_631+Gstar",
+            "metric": f"df_rhf_fock_build_s_per_iter_w{nw}_631+Gstar",
             "value": round(fock_per_iter, 4),
             "unit": "s",
             "vs_baseline": round(ref_scaled / fock_per_iter, 3),
@@ -265,7 +333,7 @@ def main():
                                      if f32_phase else None),
         }
     out["platform"] = jax.devices()[0].platform
-    out["nw"] = "w50" if W50 else NW  # lets artifact writers reject a
+    out["nw"] = "w50" if W50 else nw  # lets artifact writers reject a
     # reduced CPU-fallback run masquerading under a big-NW label
     print(
         f"# E={res['Energy']:.8f} converged={res['Converged?']} "

@@ -173,8 +173,11 @@ def _load_b_cache(prefix: str, primary, aux):
                               col_map=meta["col_map"])
         if B.shape != (aux.nbf, screen.npq + 1):
             return None
+        import sys
+
+        # stderr: bench.py's stdout must stay a single parseable JSON line
         print(f"# build_B_packed: loaded cached B from {bp} "
-              f"({B.nbytes / 1e9:.1f} GB)", flush=True)
+              f"({B.nbytes / 1e9:.1f} GB)", file=sys.stderr, flush=True)
         return B, screen
     except Exception:
         return None

@@ -187,6 +187,7 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
         "E Nuc": e_nuc,
         "Converged?": converged,
         "Stagnated": state.stagnated,
+        "Deadline Hit": state.deadline_hit,
         "Iterations": state.iteration,
         "Timings": timings,
         # present only for spherical-harmonic runs: [nbf_cart, nbf_sph];

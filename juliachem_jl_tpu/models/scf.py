@@ -38,6 +38,7 @@ class SCFState:
     iteration: int = 0
     debug: object = None  # DebugDump or None
     stagnated: bool = False  # converged via the energy-stagnation exit
+    deadline_hit: bool = False  # stopped early at opts.wall_deadline
 
 
 class FockBuilder:
@@ -172,7 +173,21 @@ def scf_loop(
     if output >= 2:
         print(f"{'iter':>4s} {'E total':>20s} {'dE':>12s} {'D rms':>12s} {'t (s)':>8s}")
 
+    t_last_iter = 0.0
     for it in range(1, niter + 1):
+        # budgeted-run deadline: stop BEFORE an iteration that (by the last
+        # iteration's wall) cannot finish in time, so the caller gets clean
+        # partial per-iteration timings instead of a mid-iteration SIGKILL
+        if (getattr(opts, "wall_deadline", 0.0) > 0.0 and it > 1
+                and time.time() + 1.3 * t_last_iter > opts.wall_deadline):
+            state.deadline_hit = True
+            import sys
+
+            print(f"# scf: stopping before iter {it} — wall deadline "
+                  f"({opts.wall_deadline - time.time():.0f}s left < "
+                  f"1.3x last iter {t_last_iter:.1f}s)", file=sys.stderr,
+                  flush=True)
+            break
         t_it = time.perf_counter()
         state.iteration = it
 
@@ -278,6 +293,7 @@ def scf_loop(
             state.debug.write("energy", E_elec, it)
 
         t_el = time.perf_counter() - t_it
+        t_last_iter = t_el
         timings.record(JCTC.iteration_time, t_el, it)
         # memory telemetry each iteration (the reference logs
         # Base.summarysize(scf_data) — DensityFitting.jl:226-228): host-side

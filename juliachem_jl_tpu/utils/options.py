@@ -70,6 +70,12 @@ class SCFOptions:
     # record per-phase (J/K) fock timings on the sharded DF path
     # (JCTiming per-iteration J/K keys analog; costs a second pass over B)
     profile_fock: bool = False
+    # absolute epoch deadline (time.time() scale; 0 = none): the SCF loop
+    # stops BEFORE starting an iteration it cannot finish by this time
+    # (estimated from the previous iteration's wall), so a budgeted caller
+    # (bench.py under the driver's clock) always gets partial per-iteration
+    # timings and a clean result instead of a SIGKILL mid-iteration
+    wall_deadline: float = 0.0
 
     def to_dict(self):
         return asdict(self)
@@ -115,6 +121,7 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
     opts.fdiff_resync = int(f.get(C.FDIFF_RESYNC, opts.fdiff_resync))
     opts.damp = bool(f.get(C.DAMP, opts.damp))
     opts.level_shift = float(f.get("level_shift", opts.level_shift))
+    opts.wall_deadline = float(f.get("wall_deadline", opts.wall_deadline))
     opts.debug = bool(f.get(C.DEBUG, opts.debug))
     return opts
 
