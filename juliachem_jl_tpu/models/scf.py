@@ -163,6 +163,12 @@ def scf_loop(
     # are inside the convergence basin, declare convergence and mark it
     # (state.stagnated).  On exact-f64 backends d_rms keeps shrinking
     # geometrically under DIIS, so this never fires before the plain test.
+    # The basin gate scales with the requested rmsd but never loosens past
+    # 1e-4 (VERDICT r4: the earlier flat 1e-3 gate could bless a density
+    # 200x off the requested tolerance without anyone seeing it; a system
+    # that limit-cycles above this gate now runs its budget out and reports
+    # honest non-convergence).
+    stag_gate = max(1.0e-4, 10.0 * rmsd)
     from collections import deque
 
     stall_window = 3
@@ -343,7 +349,7 @@ def scf_loop(
             e_window.append(E_elec)
             spread = max(e_window) - min(e_window)
             if (len(e_window) == e_window.maxlen and spread <= 100.0 * dele
-                    and d_rms <= 1.0e-3 and d_rms >= 0.5 * best_drms):
+                    and d_rms <= stag_gate and d_rms >= 0.5 * best_drms):
                 stall_count += 1
                 if stall_count >= stall_window:
                     converged = True
