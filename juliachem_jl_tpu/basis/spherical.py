@@ -212,6 +212,44 @@ def cart_to_sph_basis(basis: Basis) -> np.ndarray:
     return out
 
 
+def project_rows_sph(basis: Basis, X: np.ndarray) -> np.ndarray:
+    """Project the aux-index ROWS of X [nbf_cart, ncols] onto the real
+    solid-harmonic span: returns [nbf_sph, ncols] in cart_to_sph_basis
+    shell order, without ever materializing the dense block transform
+    against X (per-shell (2l+1, ncart) gemms on contiguous row slices —
+    X can be a multi-GB host B tensor).
+
+    Purpose (DF): an even-tempered Cartesian auxiliary set is *radially*
+    redundant — the trace of a dense d ladder lives in the span of the s
+    ladder (and g in s/d), which makes the Coulomb metric numerically
+    singular (S22 S01: cond 1e17).  The solid-harmonic projection removes
+    those contaminant directions exactly; the remaining fit span is the
+    standard spherical auxiliary basis every production DF code uses."""
+    shells = sorted(basis.shells, key=lambda s: s.offset)
+    Tc = {l: cart_to_sph_shell(l) for l in sorted({s.l for s in shells})}
+    A_s = sum(nsph(s.l) for s in shells)
+    out = np.empty((A_s,) + X.shape[1:], dtype=X.dtype)
+    col = 0
+    for s in shells:
+        T = Tc[s.l]
+        out[col:col + T.shape[1]] = T.T @ X[s.offset:s.offset + T.shape[0]]
+        col += T.shape[1]
+    return out
+
+
+def project_metric_sph(basis: Basis, M: np.ndarray) -> np.ndarray:
+    """Solid-harmonic projection of the [A, A] aux Coulomb metric:
+    M_s = T^T M T via two row projections (M symmetric)."""
+    M1 = project_rows_sph(basis, M)
+    return project_rows_sph(basis, np.ascontiguousarray(M1.T))
+
+
+def aux_needs_sph(basis: Basis) -> bool:
+    """True when the solid-harmonic aux projection changes anything
+    (a d or higher shell exists; s/p transforms are the identity)."""
+    return any(s.l >= 2 for s in basis.shells)
+
+
 def sph_bf_to_atom(basis: Basis) -> np.ndarray:
     """Per-spherical-bf atom index (Mulliken/Lowdin analysis), matching the
     shell order of cart_to_sph_basis."""

@@ -68,8 +68,15 @@ def build_B(primary, aux, opts=None, timings: Timings | None = None) -> np.ndarr
         if not (isinstance(B, np.ndarray) and B.flags.writeable
                 and B.flags.c_contiguous):
             B = np.array(B)
+        from ..basis.spherical import (aux_needs_sph, project_metric_sph,
+                                       project_rows_sph)
+
+        if (getattr(opts, "df_spherical_aux", True) if opts is not None
+                else True) and aux_needs_sph(aux):
+            metric = project_metric_sph(aux, metric)
+            B = project_rows_sph(aux, B)
         fold_metric(metric, B)
-    return B.reshape(A, nbf, nbf)
+    return B.reshape(B.shape[0], nbf, nbf)
 
 
 @jax.jit

@@ -97,8 +97,12 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
 
     timings = timings or Timings()
     cache = getattr(opts, "df_b_cache", "") if opts is not None else ""
+    from ..basis.spherical import aux_needs_sph
+
+    sph_aux = ((getattr(opts, "df_spherical_aux", True)
+                if opts is not None else True) and aux_needs_sph(aux))
     if cache:
-        hit = _load_b_cache(cache, primary, aux)
+        hit = _load_b_cache(cache, primary, aux, sph_aux)
         if hit is not None:
             return hit
     with timings.timed(JCTC.two_center_time):
@@ -132,19 +136,30 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
               file=sys.stderr, flush=True)
         B = P3 if isinstance(P3, np.ndarray) and P3.flags.writeable \
             else np.array(P3)
+        from ..basis.spherical import project_metric_sph, project_rows_sph
+
+        if sph_aux:
+            # solid-harmonic fitting space: drops the Cartesian contaminant
+            # rows (d-trace in s-span etc.) that made generated (AutoAux)
+            # metrics numerically singular, and shrinks every later cost
+            metric = project_metric_sph(aux, metric)
+            B = project_rows_sph(aux, B)
         fold_metric(metric, B)
         B[:, -1] = 0.0
     if cache:
         print(f"# build_B_packed: writing B cache to {cache}_B.npy",
               file=sys.stderr, flush=True)
-        _save_b_cache(cache, primary, aux, B, screen)
+        _save_b_cache(cache, primary, aux, B, screen, sph_aux)
     return B, screen
 
 
-def _b_cache_fingerprint(primary, aux) -> np.ndarray:
+def _b_cache_fingerprint(primary, aux, sph_aux: bool = False) -> np.ndarray:
     """Geometry+basis fingerprint guarding a cached B against reuse across
-    systems (same spirit as the SCF checkpoint guard, models/scf.py)."""
-    parts = [np.asarray([primary.nbf, aux.nbf], dtype=np.float64)]
+    systems (same spirit as the SCF checkpoint guard, models/scf.py).
+    sph_aux participates so toggling the solid-harmonic aux projection
+    invalidates caches built the other way."""
+    parts = [np.asarray([primary.nbf, aux.nbf, float(sph_aux)],
+                        dtype=np.float64)]
     for b in (primary, aux):
         for l, cl in sorted(b.classes.items()):
             parts.append(np.asarray([l, cl.nshell], dtype=np.float64))
@@ -154,7 +169,7 @@ def _b_cache_fingerprint(primary, aux) -> np.ndarray:
     return np.asarray([v.size, float(v.sum()), float((v * v).sum())])
 
 
-def _load_b_cache(prefix: str, primary, aux):
+def _load_b_cache(prefix: str, primary, aux, sph_aux: bool = False):
     import os
 
     bp, sp = prefix + "_B.npy", prefix + "_screen.npz"
@@ -163,7 +178,7 @@ def _load_b_cache(prefix: str, primary, aux):
     try:
         meta = np.load(sp)
         if not np.allclose(meta["fingerprint"],
-                           _b_cache_fingerprint(primary, aux)):
+                           _b_cache_fingerprint(primary, aux, sph_aux)):
             return None
         # mmap: stream mode slices Q-blocks through the page cache instead
         # of holding a second full copy in RAM
@@ -171,7 +186,8 @@ def _load_b_cache(prefix: str, primary, aux):
         screen = PackedScreen(nbf=int(meta["nbf"]), npq=int(meta["npq"]),
                               pq_flat=meta["pq_flat"],
                               col_map=meta["col_map"])
-        if B.shape != (aux.nbf, screen.npq + 1):
+        arows = int(meta["arows"]) if "arows" in meta else aux.nbf
+        if B.shape != (arows, screen.npq + 1):
             return None
         import sys
 
@@ -183,7 +199,8 @@ def _load_b_cache(prefix: str, primary, aux):
         return None
 
 
-def _save_b_cache(prefix: str, primary, aux, B, screen) -> None:
+def _save_b_cache(prefix: str, primary, aux, B, screen,
+                  sph_aux: bool = False) -> None:
     import os
 
     try:
@@ -192,7 +209,8 @@ def _save_b_cache(prefix: str, primary, aux, B, screen) -> None:
         os.replace(prefix + "_B.npy.tmp.npy", prefix + "_B.npy")
         np.savez(prefix + "_screen.npz", nbf=screen.nbf, npq=screen.npq,
                  pq_flat=screen.pq_flat, col_map=screen.col_map,
-                 fingerprint=_b_cache_fingerprint(primary, aux))
+                 arows=B.shape[0],
+                 fingerprint=_b_cache_fingerprint(primary, aux, sph_aux))
     except OSError as exc:
         import warnings
 

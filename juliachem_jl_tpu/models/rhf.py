@@ -56,9 +56,24 @@ def _make_fock_builder(basis_sets, opts, prefer_df: bool, timings=None):
                    timings=timings)
     if opts.num_devices > 1:
         # quartet-sharded conventional Fock over the mesh (the analog of
-        # the reference's rank-parallel quartet walk, SCF.jl:683-744)
-        from ..ops.fock_sharded import ShardedDirectFock
+        # the reference's rank-parallel quartet walk, SCF.jl:683-744).
+        # Past the streaming threshold the batched builder's host index
+        # streams stop fitting exactly as in the single-device case, so the
+        # mesh path rides the same Schwarz-staircase device enumeration
+        # with its flat quartet space range-split over devices.
+        import os as _os
 
+        from ..ops.fock_sharded import ShardedDirectFock
+        from ..ops.fock_stream import (ShardedStreamingFock,
+                                       count_screened_quartets)
+
+        force = _os.environ.get("JCHEM_CONV_STREAM")
+        thresh = float(_os.environ.get("JCHEM_CONV_STREAM_THRESHOLD", 3e7))
+        if force == "1" or (force != "0" and count_screened_quartets(
+                basis_sets.primary) > thresh):
+            return ShardedStreamingFock(
+                basis_sets.primary, n_devices=opts.num_devices,
+                timings=timings)
         return ShardedDirectFock(
             basis_sets.primary, n_devices=opts.num_devices, timings=timings)
     if opts.contraction_mode == C.ContractionMode.dense and basis_sets.primary.nbf <= 160:

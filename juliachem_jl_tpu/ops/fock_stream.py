@@ -89,18 +89,19 @@ def _dev_block(b: PairBlock, q: np.ndarray) -> _DevBlock:
     )
 
 
-@lru_cache(maxsize=None)
-def _stream_digest(la, lb, lc, ld, Ka, Kb, Kc, Kd,
-                   n_bra_pad, n_ket_pad, same_block, nbf_pad, n_chunks):
-    """One jitted program per class-pair: scan over flat quartet chunks,
-    decoding (r, c) on device and digesting into the J/K workspaces."""
+def _stream_scan_factory(la, lb, lc, ld, Ka, Kb, Kc, Kd,
+                         n_bra_pad, n_ket_pad, same_block, nbf_pad):
+    """Shared scan body: decode flat quartet indices t0s -> (r, c) on
+    device, evaluate the class ERIs and digest into a flat [2*P2] J/K
+    workspace.  Used by the single-device jit (_stream_digest) and by the
+    per-device body of the mesh-sharded build (_stream_digest_sharded)."""
     eri_f = _eri_kernel_body(la, lb, lc, ld, Ka, Kb, Kc, Kd)
     nca, ncb, ncc, ncd = ncart(la), ncart(lb), ncart(lc), ncart(ld)
     vals_f = _digest_vals_body(nca, ncb, ncc, ncd)
     P2 = nbf_pad * nbf_pad
 
-    def run(JK, D, N, cum, bra, off_a, off_b, diag_b,
-            ket, off_c, off_d, diag_k):
+    def scan_run(JK, D, N, cum, bra, off_a, off_b, diag_b,
+                 ket, off_c, off_d, diag_k, t0s):
         Dm = D.reshape(-1)
         iota = jnp.arange(_CH, dtype=jnp.int64)
 
@@ -142,11 +143,61 @@ def _stream_digest(la, lb, lc, ld, Ka, Kb, Kc, Kd,
             JK = JK.at[P2 + idx_bd.reshape(-1)].add(k_bd.reshape(-1))
             return JK, 0
 
-        t0s = jnp.arange(n_chunks, dtype=jnp.int64) * _CH
         JK, _ = jax.lax.scan(body, JK, t0s)
         return JK
 
+    return scan_run
+
+
+@lru_cache(maxsize=None)
+def _stream_digest(la, lb, lc, ld, Ka, Kb, Kc, Kd,
+                   n_bra_pad, n_ket_pad, same_block, nbf_pad, n_chunks):
+    """One jitted program per class-pair: scan over flat quartet chunks,
+    decoding (r, c) on device and digesting into the J/K workspaces."""
+    scan_run = _stream_scan_factory(la, lb, lc, ld, Ka, Kb, Kc, Kd,
+                                    n_bra_pad, n_ket_pad, same_block, nbf_pad)
+
+    def run(JK, D, N, cum, bra, off_a, off_b, diag_b,
+            ket, off_c, off_d, diag_k):
+        t0s = jnp.arange(n_chunks, dtype=jnp.int64) * _CH
+        return scan_run(JK, D, N, cum, bra, off_a, off_b, diag_b,
+                        ket, off_c, off_d, diag_k, t0s)
+
     return jax.jit(run, donate_argnums=(0,))
+
+
+@lru_cache(maxsize=None)
+def _stream_digest_sharded(la, lb, lc, ld, Ka, Kb, Kc, Kd,
+                           n_bra_pad, n_ket_pad, same_block, nbf_pad,
+                           n_chunks_dev, mesh):
+    """Mesh-sharded staircase digestion: the flat quartet index space of a
+    class pair is split into ndev contiguous ranges (t_base per device);
+    every device scans its own range with the SAME decode body against the
+    replicated pair tables and accumulates a device-local J/K workspace
+    row.  No communication inside the step — the one reduction per
+    iteration happens in the caller (MPI.Allreduce analog,
+    reference SCF.jl:623)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    scan_run = _stream_scan_factory(la, lb, lc, ld, Ka, Kb, Kc, Kd,
+                                    n_bra_pad, n_ket_pad, same_block, nbf_pad)
+
+    def local(JK, D, N, cum, bra, off_a, off_b, diag_b,
+              ket, off_c, off_d, diag_k, t_base):
+        t0s = t_base[0] + jnp.arange(n_chunks_dev, dtype=jnp.int64) * _CH
+        out = scan_run(JK[0], D, N, cum, bra, off_a, off_b, diag_b,
+                       ket, off_c, off_d, diag_k, t0s)
+        return out[None]
+
+    spec = P(("q", "k"))
+    step = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec,) + (P(),) * 11 + (spec,),
+        out_specs=spec,
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0,))
 
 
 @dataclass
@@ -270,3 +321,61 @@ class StreamingDirectFock(FockBuilder):
     def finalize(self):
         self.blocks = []
         self.pairs = []
+
+
+class ShardedStreamingFock(StreamingDirectFock):
+    """Mesh-sharded Schwarz-staircase direct Fock: the flat quartet space
+    of every class pair is range-split over the device mesh, each device
+    runs the on-device decode + digest on its range, and the per-device
+    J/K workspaces are summed once per iteration (the reference's
+    rank-strided composite-index walk + MPI.Allreduce, SCF.jl:683-744 +
+    623, at streaming-memory O(pairs) per device)."""
+
+    def __init__(self, basis: Basis, mesh=None, n_devices: int | None = None,
+                 cutoff: float = DEFAULT_CUTOFF,
+                 pair_cutoff_scale: float = 1.0e-4,
+                 timings: Timings | None = None):
+        super().__init__(basis, cutoff, pair_cutoff_scale)
+        if mesh is None:
+            from ..parallel.mesh import make_mesh
+
+            mesh = make_mesh(n_devices)
+        self.mesh = mesh
+        self.ndev = int(mesh.devices.size)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._jk_sharding = NamedSharding(mesh, P(("q", "k")))
+        self._repl = NamedSharding(mesh, P())
+        if timings is not None:
+            from ..utils.timings import JCTC
+
+            timings.non_timing_data[JCTC.gpu_num_devices] = str(self.ndev)
+
+    def jk_halves(self, D, iteration, timings: Timings):
+        nbf, nbf_pad, ndev = self.nbf, self.nbf_pad, self.ndev
+        P2 = nbf_pad * nbf_pad
+        D = jnp.asarray(D)
+        if nbf_pad != nbf:
+            D = jnp.pad(D, ((0, nbf_pad - nbf), (0, nbf_pad - nbf)))
+        D = jax.device_put(D, self._repl)
+        JK = jax.device_put(jnp.zeros((ndev, 2 * P2)), self._jk_sharding)
+        for cp in self.pairs:
+            bb, kb = self.blocks[cp.bi], self.blocks[cp.ki]
+            n_chunks_dev = _bucket_chunks(-(-cp.N // (_CH * ndev)))
+            t_base = jax.device_put(
+                np.arange(ndev, dtype=np.int64) * (n_chunks_dev * _CH),
+                self._jk_sharding)
+            kern = _stream_digest_sharded(
+                bb.la, bb.lb, kb.la, kb.lb,
+                bb.arrays[0].shape[1], bb.arrays[1].shape[1],
+                kb.arrays[0].shape[1], kb.arrays[1].shape[1],
+                bb.n_pad, kb.n_pad, cp.same, nbf_pad, n_chunks_dev,
+                self.mesh)
+            JK = kern(JK, D, cp.N, cp.cum,
+                      bb.arrays, bb.off_a, bb.off_b, bb.diag,
+                      kb.arrays, kb.off_a, kb.off_b, kb.diag, t_base)
+        # one cross-device reduction per iteration (MPI.Allreduce analog)
+        JKh = np.asarray(JK).sum(axis=0)
+        J = JKh[:P2].reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
+        K = JKh[P2:].reshape(nbf_pad, nbf_pad)[:nbf, :nbf]
+        return J + J.T, K + K.T

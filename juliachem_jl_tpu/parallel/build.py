@@ -79,14 +79,20 @@ def build_B_packed_sharded(primary: Basis, aux: Basis, mesh: Mesh,
         P3 = np.concatenate(parts, axis=0)  # rows in global aux order
 
     with timings.timed(JCTC.B_time):
+        from ..basis.spherical import (aux_needs_sph, project_metric_sph,
+                                       project_rows_sph)
         from ..models.linalg import fold_metric
 
         B = P3
+        if (getattr(opts, "df_spherical_aux", True) if opts is not None
+                else True) and aux_needs_sph(aux):
+            metric = project_metric_sph(aux, metric)
+            B = project_rows_sph(aux, B)
         fold_metric(metric, B)
         B[:, -1] = 0.0
 
     # pad rows so each device holds n_chunks x q_chunk rows exactly
-    A = aux.nbf
+    A = B.shape[0]
     nbf = primary.nbf
     A_l0 = -(-A // ndev)
     qc = max(16, min(A_l0, int(tile_budget / (8 * nbf * nbf))))

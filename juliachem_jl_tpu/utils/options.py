@@ -58,6 +58,14 @@ class SCFOptions:
     # — far inside the 1.5e-3 CI gate; J/K still accumulate in f64 on
     # device (f32 blocks promote against the f64 density).
     df_b_dtype: str = "f64"
+    # project the auxiliary fitting space onto real solid harmonics before
+    # the metric fold (basis/spherical.py::project_rows_sph): removes the
+    # Cartesian contaminant directions that make even-tempered (AutoAux)
+    # metrics numerically singular (cond 1e17 -> Cholesky-clean), shrinks
+    # naux ~10-20%, and matches what every production DF code fits in.
+    # The reference fits in raw Cartesians (its JKFIT tables are sparse
+    # enough to survive); energies differ only within the DF fit error.
+    df_spherical_aux: bool = True
     debug: bool = False
     # mixed-precision SCF: f32 Fock builds far from convergence, guaranteed
     # f64 for the final iterations (TPU-native optimization; no reference
@@ -112,6 +120,8 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
     opts.ndiis = int(f.get(C.NDIIS, opts.ndiis))
     opts.df_b_cache = str(f.get("df_b_cache", opts.df_b_cache))
     opts.df_b_dtype = str(f.get("df_b_dtype", opts.df_b_dtype))
+    opts.df_spherical_aux = bool(f.get("df_spherical_aux",
+                                       opts.df_spherical_aux))
     opts.mixed_precision = bool(f.get("mixed_precision", opts.mixed_precision))
     opts.mixed_precision_switch = float(
         f.get("mixed_precision_switch", opts.mixed_precision_switch))
