@@ -237,6 +237,24 @@ def project_rows_sph(basis: Basis, X: np.ndarray) -> np.ndarray:
     return out
 
 
+def lift_rows_sph(basis: Basis, X: np.ndarray) -> np.ndarray:
+    """Inverse map of project_rows_sph's row space: lift [nbf_sph, ncols]
+    back to Cartesian aux rows via T @ X (T the block-diagonal per-shell
+    cart->sph transform).  Because T is geometry-independent, quantities
+    fitted in the projected space (DF gamma/Omega) lift to Cartesian rows
+    exactly — the gradient code contracts them with Cartesian derivative
+    integrals (ops/eri_grad.py)."""
+    shells = sorted(basis.shells, key=lambda s: s.offset)
+    Tc = {l: cart_to_sph_shell(l) for l in sorted({s.l for s in shells})}
+    out = np.zeros((basis.nbf,) + X.shape[1:], dtype=X.dtype)
+    col = 0
+    for s in shells:
+        T = Tc[s.l]
+        out[s.offset:s.offset + T.shape[0]] = T @ X[col:col + T.shape[1]]
+        col += T.shape[1]
+    return out
+
+
 def project_metric_sph(basis: Basis, M: np.ndarray) -> np.ndarray:
     """Solid-harmonic projection of the [A, A] aux Coulomb metric:
     M_s = T^T M T via two row projections (M symmetric)."""

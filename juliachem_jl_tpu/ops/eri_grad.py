@@ -246,7 +246,8 @@ def _dense_three_center(primary: Basis, aux: Basis) -> np.ndarray:
 
 def df_two_electron_gradient(primary: Basis, aux: Basis, mol,
                              D: np.ndarray,
-                             spin_densities=None) -> np.ndarray:
+                             spin_densities=None,
+                             sph_aux=None) -> np.ndarray:
     """dE_2e/dR [natom, 3] of the RI-fitted two-electron energy
 
         E_2e = sum_pqrs Gamma_pqrs (pq|A) M^-1_AB (B|rs),
@@ -269,7 +270,15 @@ def df_two_electron_gradient(primary: Basis, aux: Basis, mol,
     ket-partner trick eri3c uses for the undifferentiated tensors: the unit
     shell has exponent 0, so its center derivative vanishes identically
     (2b*(j+1 image) - j*(j-1 image) = 0) and the aux-center derivative is
-    just the kernel's bra-A derivative."""
+    just the kernel's bra-A derivative.
+
+    sph_aux=True (the energy path's default, models/df*.py) performs the
+    fit algebra in the solid-harmonic-projected aux space the SCF actually
+    fitted in, then lifts gamma/Omega back to Cartesian aux rows through
+    the geometry-independent per-shell transform T (d(A'|pq) = T^T d(A|pq)
+    and dM' = T^T dM T, so the lifted contractions are exact)."""
+    from ..basis.spherical import (aux_needs_sph, lift_rows_sph,
+                                   project_metric_sph, project_rows_sph)
     from .eri3c import aux_unit_blocks, two_center_metric
 
     natom = mol.natom
@@ -280,20 +289,31 @@ def df_two_electron_gradient(primary: Basis, aux: Basis, mol,
     P3 = _dense_three_center(primary, aux)
     M = two_center_metric(aux)
     P3f = P3.reshape(naux, -1)
+    if sph_aux is None:
+        sph_aux = True
+    sph = bool(sph_aux) and aux_needs_sph(aux)
+    if sph:
+        P3f = project_rows_sph(aux, P3f)                     # [A_s, nbf^2]
+        M = project_metric_sph(aux, M)
+    P3c = P3f.reshape(len(P3f), nbf, nbf)
 
-    v = P3f @ D.reshape(-1)                                  # [naux]
+    v = P3f @ D.reshape(-1)                                  # [naux(_s)]
     if spin_densities is None:
         U = (0.5 * v[:, None, None] * D[None]
-             - 0.25 * np.einsum("pr,ars,sq->apq", D, P3, D))
+             - 0.25 * np.einsum("pr,ars,sq->apq", D, P3c, D))
     else:
         Da_, Db_ = spin_densities
         U = (0.5 * v[:, None, None] * D[None]
-             - 0.5 * (np.einsum("pr,ars,sq->apq", Da_, P3, Da_)
-                      + np.einsum("pr,ars,sq->apq", Db_, P3, Db_)))
-    gamma = np.linalg.solve(M, U.reshape(naux, -1))          # [naux, nbf^2]
+             - 0.5 * (np.einsum("pr,ars,sq->apq", Da_, P3c, Da_)
+                      + np.einsum("pr,ars,sq->apq", Db_, P3c, Db_)))
+    gamma = np.linalg.solve(M, U.reshape(len(P3f), -1))      # [naux(_s), nbf^2]
     W = np.linalg.solve(M, P3f)
     Omega = W @ gamma.T
     Omega = 0.5 * (Omega + Omega.T)
+    if sph:
+        gamma = lift_rows_sph(aux, gamma)
+        Omega = lift_rows_sph(
+            aux, np.ascontiguousarray(lift_rows_sph(aux, Omega).T))
     gamma = gamma.reshape(naux, nbf, nbf)
 
     grad = np.zeros((natom, 3))

@@ -176,8 +176,56 @@ def test_df_gradient_vs_finite_differences():
         gam = np.linalg.solve(M, U.reshape(a.nbf, -1))
         return float(np.sum(gam * P3f))
 
-    g = df_two_electron_gradient(prim, aux, mol, D)
+    # Cartesian-space fit: oracle and analytic gradient share the space
+    g = df_two_electron_gradient(prim, aux, mol, D, sph_aux=False)
     assert np.abs(g.sum(axis=0)).max() < 1e-10   # translational invariance
+    h = 1e-5
+    for (k, d) in ((0, 2), (1, 1)):
+        cp = mol.coords.copy(); cp[k, d] += h
+        cm = mol.coords.copy(); cm[k, d] -= h
+        fd = (e2(cp) - e2(cm)) / (2 * h)
+        assert abs(g[k, d] - fd) < 1e-7, (k, d, g[k, d], fd)
+
+
+def test_df_gradient_vs_finite_differences_sph_aux():
+    """Same machinery in the solid-harmonic-projected fitting space (the
+    energy path's default since the aux-conditioning fix): the FD oracle
+    projects P3/M exactly as models/df*.py does before fitting."""
+    import warnings
+
+    from juliachem_jl_tpu.basis.spherical import (project_metric_sph,
+                                                  project_rows_sph)
+    from juliachem_jl_tpu.ops.eri3c import two_center_metric
+    from juliachem_jl_tpu.ops.eri_grad import (_dense_three_center,
+                                               df_two_electron_gradient)
+
+    mol = molecule.from_input_dict(WATER)
+    prim = basis_mod.build(mol, "STO-3G")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        aux = basis_mod.build_auxiliary(mol, "cc-pVDZ-JKFIT", "STO-3G")
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((prim.nbf, prim.nbf))
+    D = X + X.T
+
+    def e2(coords):
+        m = _mol_at(coords)
+        p = basis_mod.build(m, "STO-3G")
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            a = basis_mod.build_auxiliary(m, "cc-pVDZ-JKFIT", "STO-3G")
+        P3f = project_rows_sph(
+            a, _dense_three_center(p, a).reshape(a.nbf, -1))
+        M = project_metric_sph(a, two_center_metric(a))
+        P3 = P3f.reshape(len(P3f), p.nbf, p.nbf)
+        v = P3f @ D.reshape(-1)
+        U = (0.5 * v[:, None, None] * D[None]
+             - 0.25 * np.einsum("pr,ars,sq->apq", D, P3, D))
+        gam = np.linalg.solve(M, U.reshape(len(P3f), -1))
+        return float(np.sum(gam * P3f))
+
+    g = df_two_electron_gradient(prim, aux, mol, D, sph_aux=True)
+    assert np.abs(g.sum(axis=0)).max() < 1e-10
     h = 1e-5
     for (k, d) in ((0, 2), (1, 1)):
         cp = mol.coords.copy(); cp[k, d] += h
