@@ -245,6 +245,10 @@ def main():
             # stop the SCF before an iteration that would blow the budget;
             # partial per-iteration timings still yield the headline mean
             scf_flags["wall_deadline"] = deadline - 60.0
+            # post-convergence Fock timing reps (deadline-guarded in
+            # models/rhf.py): the headline mean rests on >=8 f64 samples
+            # instead of the 3-5 iterations a fast SCF leaves
+            scf_flags["bench_fock_reps"] = 8
         if nw >= 48 and not CONV:
             # the w64-class B is ~50 GB and every B-sized relay transfer
             # runs at d2h 16 MB/s; f32 storage halves build/fold/stream

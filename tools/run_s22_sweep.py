@@ -46,6 +46,7 @@ props = properties.run(
     {{"mo energies": True, "mulliken": True, "multipole": "dipole"}})
 print("RESULT:" + json.dumps({{
     "energy": res["Energy"], "converged": bool(res["Converged?"]),
+    "stagnated": bool(res.get("Stagnated")),
     "iters": res["Iterations"],
     "homo_lumo": props["MO Energies"]["homo_lumo"],
     "dipole": props["Dipole"]["moment"],
@@ -75,6 +76,7 @@ props = properties.run(
     {{"mo energies": True, "mulliken": True, "multipole": "dipole"}})
 print("RESULT:" + json.dumps({{
     "energy": res["Energy"], "converged": bool(res["Converged?"]),
+    "stagnated": bool(res.get("Stagnated")),
     "iters": res["Iterations"],
     "homo_lumo": props["MO Energies"]["homo_lumo"],
     "dipole": props["Dipole"]["moment"],
