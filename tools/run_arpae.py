@@ -1,14 +1,22 @@
-"""ARPA-E fig1e: RHF/6-311++G(3df,3pd) on the C8O8H4 cluster vs the
-reference's committed output (example_inputs/ARPA-E/6-311/
-fig1e_112thread.output: Total SCF Energy -903.7991936826 h).
+"""ARPA-E family runner (reference example_inputs/ARPA-E/).
 
-The committed reference run is conventional RHF at the input's own loose
-keywords (dele=1.0, rmsd=2e-5); we run DF-RHF (cc-pVTZ-JKFIT) tighter and
-gate at the CI's DF tolerance 1.5e-3 Eh — the same criterion as the S22 DF
-matrix (test/runtests.jl:63).  Validates the 6-311++G(3df,3pd) tables added
-in round 4 (tools/make_basis_library.py).
+fig1e (RHF/6-311++G(3df,3pd), C8O8H4): gated against the reference's only
+committed ARPA-E energy (example_inputs/ARPA-E/6-311/fig1e_112thread.output:
+Total SCF Energy -903.7991936826 h).  The committed run is conventional RHF
+at the input's own loose keywords (dele=1.0, rmsd=2e-5); we run DF-RHF
+(cc-pVTZ-JKFIT) tighter and gate at the CI's DF tolerance 1.5e-3 Eh — the
+same criterion as the S22 DF matrix (test/runtests.jl:63).
 
-Writes ARPAE_RESULTS.json.  Usage: python tools/run_arpae.py [conv]
+Other figures (fig1a/fig1b/... at 6-31+G**, LiC4O4H6-class, 11 atoms): the
+reference commits only timing benchmark logs for them (no energies), so the
+gate is the CI's own DF-vs-conventional parity criterion |E_df - E_conv| <=
+1.5e-3 Eh (test/runtests.jl:63), with the conventional run seeded from the
+DF fixed point (guess="df": ~3-5 conventional iterations to 1e-9).
+
+Resumable: records land in ARPAE_RESULTS.json per figure+mode; existing
+passes are skipped.  Usage:
+  python tools/run_arpae.py [conv]          # fig1e only (golden gate)
+  python tools/run_arpae.py fig1a fig1b     # parity-gated figures
 """
 
 from __future__ import annotations
@@ -22,25 +30,53 @@ import warnings
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-GOLDEN = -903.7991936826
-INPUT = "/root/reference/example_inputs/ARPA-E/6-311/fig1e.json"
+GOLDEN_FIG1E = -903.7991936826
+RESULTS = os.path.join(REPO, "ARPAE_RESULTS.json")
+INPUTS = {
+    "fig1e": "/root/reference/example_inputs/ARPA-E/6-311/fig1e.json",
+}
+for _f in ("fig1a", "fig1b", "fig1c", "fig1d", "fig1f", "fig1g", "fig1h",
+           "fig1i"):
+    INPUTS[_f] = f"/root/reference/example_inputs/ARPA-E/6-31/{_f}.json"
+DF_GATE = 1.5e-3
 
 
-def main():
-    conv = "conv" in sys.argv[1:]
-    from juliachem_jl_tpu import basis, io, molecule
+def _load() -> dict:
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            return json.load(f)
+    return {}
+
+
+def _save(data: dict) -> None:
+    with open(RESULTS, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+def _bsets(mol, spec, with_aux: bool):
+    from juliachem_jl_tpu import basis
     from juliachem_jl_tpu.basis import CalculationBasisSets
-    from juliachem_jl_tpu.models import rhf
 
-    spec = io.read_input(INPUT)
-    mol = molecule.from_input_dict(spec.molecule)
     with warnings.catch_warnings():
         warnings.simplefilter("ignore")
-        bsets = CalculationBasisSets(
+        return CalculationBasisSets(
             basis.build(mol, spec.model["basis"]),
-            None if conv else basis.build_auxiliary(
-                mol, "cc-pVTZ-JKFIT", spec.model["basis"]),
+            basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", spec.model["basis"])
+            if with_aux else None,
         )
+
+
+def run_fig1e(conv: bool, data: dict) -> None:
+    from juliachem_jl_tpu import io, molecule
+    from juliachem_jl_tpu.models import rhf
+
+    mode = "conv" if conv else "df"
+    if data.get("fig1e", {}).get(mode, {}).get("pass"):
+        print(f"fig1e {mode} already PASS — skipping")
+        return
+    spec = io.read_input(INPUTS["fig1e"])
+    mol = molecule.from_input_dict(spec.molecule)
+    bsets = _bsets(mol, spec, with_aux=not conv)
     print(f"# fig1e: nbf={bsets.primary.nbf}"
           + ("" if conv else f" naux={bsets.auxiliary.nbf}"), flush=True)
     t0 = time.time()
@@ -50,27 +86,91 @@ def main():
         "df_b_cache": "runs/fig1e_B" if not conv else "",
     })
     wall = time.time() - t0
-    mode = "conv" if conv else "df"
-    gate = 1.49e-8 * abs(GOLDEN) if conv else 1.5e-3
-    err = res["Energy"] - GOLDEN
+    gate = 1.49e-8 * abs(GOLDEN_FIG1E) if conv else 1.5e-3
+    err = res["Energy"] - GOLDEN_FIG1E
     rec = {
         "energy": res["Energy"], "converged": bool(res["Converged?"]),
+        "stagnated": bool(res.get("Stagnated")),
         "iters": res["Iterations"], "wall_s": round(wall, 1),
-        "golden": GOLDEN, "e_err_vs_golden": err,
+        "golden": GOLDEN_FIG1E, "e_err_vs_golden": err,
         "pass": bool(res["Converged?"] and abs(err) <= gate),
         "basis": spec.model["basis"],
         "ts": round(time.time(), 1),
     }
-    path = os.path.join(REPO, "ARPAE_RESULTS.json")
-    data = {}
-    if os.path.exists(path):
-        with open(path) as f:
-            data = json.load(f)
     data.setdefault("fig1e", {})[mode] = rec
-    with open(path, "w") as f:
-        json.dump(data, f, indent=1)
+    _save(data)
     print(f"fig1e {mode} {'PASS' if rec['pass'] else 'FAIL'} "
           f"E={res['Energy']:.10f} err={err:.2e} ({wall:.1f}s)")
+
+
+def run_parity_fig(fig: str, data: dict) -> None:
+    """DF + conventional (DF-seeded) on a figure without a committed golden;
+    gate = the CI's DF parity criterion."""
+    from juliachem_jl_tpu import io, molecule
+    from juliachem_jl_tpu.models import rhf
+
+    rec = data.setdefault(fig, {})
+    if rec.get("pass"):
+        print(f"{fig} already PASS — skipping")
+        return
+    spec = io.read_input(INPUTS[fig])
+    mol = molecule.from_input_dict(spec.molecule)
+
+    if not rec.get("df", {}).get("converged"):
+        bsets = _bsets(mol, spec, with_aux=True)
+        print(f"# {fig}: nbf={bsets.primary.nbf} naux={bsets.auxiliary.nbf}",
+              flush=True)
+        t0 = time.time()
+        res = rhf.energy(mol, bsets, {
+            "scf_type": "df", "niter": 60, "dele": 1e-9, "rmsd": 1e-6,
+            "guess": "sad"})
+        rec["df"] = {
+            "energy": res["Energy"], "converged": bool(res["Converged?"]),
+            "stagnated": bool(res.get("Stagnated")),
+            "iters": res["Iterations"],
+            "wall_s": round(time.time() - t0, 1),
+            "basis": spec.model["basis"], "ts": round(time.time(), 1)}
+        _save(data)
+        print(f"{fig} df E={res['Energy']:.10f} ({rec['df']['wall_s']}s)")
+
+    if rec["df"].get("converged") and not rec.get("conv", {}).get("converged"):
+        bsets = _bsets(mol, spec, with_aux=True)  # aux feeds the df guess
+        t0 = time.time()
+        res = rhf.energy(mol, bsets, {
+            "scf_type": "rhf", "niter": 60, "dele": 1e-9, "rmsd": 1e-7,
+            "guess": "df", "df_niter": 30, "df_dele": 1e-7,
+            "df_rmsd": 1e-5})
+        rec["conv"] = {
+            "energy": res["Energy"], "converged": bool(res["Converged?"]),
+            "stagnated": bool(res.get("Stagnated")),
+            "iters": res["Iterations"],
+            "wall_s": round(time.time() - t0, 1),
+            "ts": round(time.time(), 1)}
+        _save(data)
+        print(f"{fig} conv E={res['Energy']:.10f} ({rec['conv']['wall_s']}s)")
+
+    if rec.get("df", {}).get("converged") and rec.get("conv", {}).get(
+            "converged"):
+        parity = abs(rec["df"]["energy"] - rec["conv"]["energy"])
+        rec["df_parity_eh"] = parity
+        rec["pass"] = bool(parity <= DF_GATE)
+        _save(data)
+        print(f"{fig} {'PASS' if rec['pass'] else 'FAIL'} "
+              f"parity={parity:.2e} Eh")
+
+
+def main():
+    args = sys.argv[1:]
+    data = _load()
+    figs = [a for a in args if a.startswith("fig") and a != "fig1e"]
+    if not figs:
+        run_fig1e("conv" in args, data)
+        return
+    for fig in figs:
+        if fig not in INPUTS:
+            print(f"unknown figure {fig}; known: {sorted(INPUTS)}")
+            continue
+        run_parity_fig(fig, data)
 
 
 if __name__ == "__main__":
