@@ -58,7 +58,11 @@ det["config"] = {"nw": int(nw), "label": label, "basis": "6-31+G*",
 json.dump(det, open(dest, "w"), indent=1)
 print(json.dumps(out))
 PY
-  git add "BENCH_${LABEL}.json" "BENCH_${LABEL}_fallback.json" "$LOG" 2>/dev/null
+  # NB: git add is atomic across pathspecs — one missing file stages
+  # NOTHING (this silently dropped every label commit until round 5).
+  for f in "BENCH_${LABEL}.json" "BENCH_${LABEL}_fallback.json" "$LOG"; do
+    [ -e "$f" ] && git add "$f" 2>/dev/null
+  done
   git commit -q -m "TPU bench artifact: ${LABEL} completed (rc=0)" 2>/dev/null
 else
   echo "bench ${LABEL} FAILED rc=$rc" >> "$LOG"

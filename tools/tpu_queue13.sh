@@ -47,9 +47,14 @@ chip_busy() {
 wait_chip() { while chip_busy; do sleep 30; done; }
 
 commit_artifacts() {
-  git add S22_RESULTS.json RESULTS.md MP2_RESULTS.json BENCH_DETAILS.json \
-          GLY_RESULTS.json ARPAE_RESULTS.json BENCH_W16_R05.json \
-          BENCH_W32_DF_R05.json BENCH_W64_R05.json runs/*.log 2>/dev/null
+  # git add is atomic across pathspecs: one missing file stages NOTHING,
+  # so each candidate is added individually
+  local f
+  for f in S22_RESULTS.json RESULTS.md MP2_RESULTS.json BENCH_DETAILS.json \
+           GLY_RESULTS.json ARPAE_RESULTS.json BENCH_W16_R05.json \
+           BENCH_W32_DF_R05.json BENCH_W64_R05.json runs/*.log; do
+    [ -e "$f" ] && git add "$f" 2>/dev/null
+  done
   if ! git diff --cached --quiet 2>/dev/null; then
     git commit -q -m "TPU queue artifacts (auto-commit as they land)" || true
   fi
