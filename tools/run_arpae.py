@@ -104,10 +104,15 @@ def run_fig1e(conv: bool, data: dict) -> None:
 
 
 def run_parity_fig(fig: str, data: dict) -> None:
-    """DF + conventional (DF-seeded) on a figure without a committed golden;
-    gate = the CI's DF parity criterion."""
+    """DF + conventional on a figure without a committed golden; gate = the
+    CI's DF parity criterion.
+
+    The 6-31 figures (LiC3O3H4 radicals, 49 electrons) are OPEN-SHELL: the
+    RHF-only reference ships these inputs but cannot run them (and commits
+    no outputs — only timing logs).  They run here as UHF doublets — a
+    capability the reference lacks outright."""
     from juliachem_jl_tpu import io, molecule
-    from juliachem_jl_tpu.models import rhf
+    from juliachem_jl_tpu.models import rhf, uhf
 
     rec = data.setdefault(fig, {})
     if rec.get("pass"):
@@ -115,15 +120,21 @@ def run_parity_fig(fig: str, data: dict) -> None:
         return
     spec = io.read_input(INPUTS[fig])
     mol = molecule.from_input_dict(spec.molecule)
+    nels = mol.nelectrons
+    open_shell = nels % 2 == 1
+    mult = 2 if open_shell else 1
+    drv = uhf if open_shell else rhf
+    rec["method"] = "uhf" if open_shell else "rhf"
+    rec["multiplicity"] = mult
 
     if not rec.get("df", {}).get("converged"):
         bsets = _bsets(mol, spec, with_aux=True)
-        print(f"# {fig}: nbf={bsets.primary.nbf} naux={bsets.auxiliary.nbf}",
-              flush=True)
+        print(f"# {fig}: nbf={bsets.primary.nbf} naux={bsets.auxiliary.nbf} "
+              f"method={rec['method']}", flush=True)
         t0 = time.time()
-        res = rhf.energy(mol, bsets, {
-            "scf_type": "df", "niter": 60, "dele": 1e-9, "rmsd": 1e-6,
-            "guess": "sad"})
+        res = drv.energy(mol, bsets, {
+            "scf_type": "df", "niter": 80, "dele": 1e-9, "rmsd": 1e-6,
+            "guess": "sad", "multiplicity": mult})
         rec["df"] = {
             "energy": res["Energy"], "converged": bool(res["Converged?"]),
             "stagnated": bool(res.get("Stagnated")),
@@ -134,12 +145,11 @@ def run_parity_fig(fig: str, data: dict) -> None:
         print(f"{fig} df E={res['Energy']:.10f} ({rec['df']['wall_s']}s)")
 
     if rec["df"].get("converged") and not rec.get("conv", {}).get("converged"):
-        bsets = _bsets(mol, spec, with_aux=True)  # aux feeds the df guess
+        bsets = _bsets(mol, spec, with_aux=False)
         t0 = time.time()
-        res = rhf.energy(mol, bsets, {
-            "scf_type": "rhf", "niter": 60, "dele": 1e-9, "rmsd": 1e-7,
-            "guess": "df", "df_niter": 30, "df_dele": 1e-7,
-            "df_rmsd": 1e-5})
+        res = drv.energy(mol, bsets, {
+            "scf_type": "rhf", "niter": 80, "dele": 1e-9, "rmsd": 1e-7,
+            "guess": "sad", "multiplicity": mult})
         rec["conv"] = {
             "energy": res["Energy"], "converged": bool(res["Converged?"]),
             "stagnated": bool(res.get("Stagnated")),
