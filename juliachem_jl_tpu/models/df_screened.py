@@ -116,17 +116,30 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
     b_dtype = (np.float32
                if str(getattr(opts, "df_b_dtype", "f64")) == "f32"
                else np.float64)
-    with timings.timed(JCTC.three_center_time):
-        # the 3-center builder accumulates in HOST memory for every size
-        # (round-4 redesign: device compute blocks, host scatter), so the
-        # round-3 "huge" aux-slab special case is gone — one code path
-        # from S22 monomers to w64.  b_dtype=f32 halves every B-sized
-        # relay transfer (build d2h, fold d2h, per-iteration stream h2d)
-        # at a deterministic ~1e-5 Eh shift of the DF fixed point — the
-        # w64-class option (d2h measured 16 MB/s).
-        P3 = eri3c.three_center_tensor(
-            primary, aux, pair_blocks, col_map=screen.col_map,
-            packed_width=npq1, out_dtype=b_dtype)
+    raw = _load_raw_cache(cache, primary, aux, sph_aux, b_dtype, npq1) \
+        if cache else None
+    if raw is not None:
+        P3 = raw
+        timings.timings.setdefault(JCTC.three_center_time, 0.0)
+    else:
+        with timings.timed(JCTC.three_center_time):
+            # the 3-center builder accumulates in HOST memory for every size
+            # (round-4 redesign: device compute blocks, host scatter), so the
+            # round-3 "huge" aux-slab special case is gone — one code path
+            # from S22 monomers to w64.  b_dtype=f32 halves every B-sized
+            # relay transfer (build d2h, fold d2h, per-iteration stream h2d)
+            # at a deterministic ~1e-5 Eh shift of the DF fixed point — the
+            # w64-class option (d2h measured 16 MB/s).
+            P3 = eri3c.three_center_tensor(
+                primary, aux, pair_blocks, col_map=screen.col_map,
+                packed_width=npq1, out_dtype=b_dtype)
+        if cache:
+            # checkpoint the unfolded tensor: at w32+ the 3c build costs
+            # ~1h of chip time and the fold another ~0.5-2h — a kill
+            # mid-fold (watchdog, OOM, session deadline) must not repeat
+            # the build (round-5: STALL_S=1500 watchdog killed the first
+            # w32 fold at t=5030s and threw away a 3518s 3c build)
+            _save_raw_cache(cache, primary, aux, sph_aux, P3)
     with timings.timed(JCTC.B_time):
         from .linalg import fold_metric
 
@@ -150,6 +163,7 @@ def build_B_packed(primary, aux, opts=None, timings: Timings | None = None):
         print(f"# build_B_packed: writing B cache to {cache}_B.npy",
               file=sys.stderr, flush=True)
         _save_b_cache(cache, primary, aux, B, screen, sph_aux)
+        _drop_raw_cache(cache)
     return B, screen
 
 
@@ -197,6 +211,64 @@ def _load_b_cache(prefix: str, primary, aux, sph_aux: bool = False):
         return B, screen
     except Exception:
         return None
+
+
+def _load_raw_cache(prefix: str, primary, aux, sph_aux, b_dtype, npq1: int):
+    """Unfolded (pre-metric, pre-sph-projection) 3-center checkpoint.
+
+    Loaded writable (the fold mutates in place).  Invalidated by the same
+    geometry/basis fingerprint as the final cache; dtype and packed width
+    must match the current build options exactly."""
+    import os
+    import sys
+
+    rp, mp = prefix + "_raw.npy", prefix + "_rawmeta.npz"
+    if not (os.path.exists(rp) and os.path.exists(mp)):
+        return None
+    try:
+        meta = np.load(mp)
+        if not np.allclose(meta["fingerprint"],
+                           _b_cache_fingerprint(primary, aux, sph_aux)):
+            return None
+        P3 = np.load(rp)
+        if P3.dtype != b_dtype or P3.ndim != 2 or P3.shape[1] != npq1:
+            return None
+        print(f"# build_B_packed: resuming from raw 3c checkpoint {rp} "
+              f"({P3.nbytes / 1e9:.1f} GB); skipping the 3c build",
+              file=sys.stderr, flush=True)
+        return P3
+    except Exception:
+        return None
+
+
+def _save_raw_cache(prefix: str, primary, aux, sph_aux, P3) -> None:
+    import os
+    import sys
+
+    try:
+        os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+        print(f"# build_B_packed: checkpointing raw 3c tensor to "
+              f"{prefix}_raw.npy ({P3.nbytes / 1e9:.1f} GB)",
+              file=sys.stderr, flush=True)
+        np.save(prefix + "_raw.npy.tmp.npy", P3)
+        os.replace(prefix + "_raw.npy.tmp.npy", prefix + "_raw.npy")
+        np.savez(prefix + "_rawmeta.npz",
+                 fingerprint=_b_cache_fingerprint(primary, aux, sph_aux))
+    except OSError as exc:
+        import warnings
+
+        warnings.warn(f"raw 3c checkpoint write failed ({exc}); "
+                      "continuing without", stacklevel=2)
+
+
+def _drop_raw_cache(prefix: str) -> None:
+    import os
+
+    for suffix in ("_raw.npy", "_rawmeta.npz"):
+        try:
+            os.remove(prefix + suffix)
+        except OSError:
+            pass
 
 
 def _save_b_cache(prefix: str, primary, aux, B, screen,

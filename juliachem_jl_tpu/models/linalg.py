@@ -105,6 +105,24 @@ def _apply_square(M: np.ndarray, B: np.ndarray) -> np.ndarray:
               else jnp.asarray(np.vstack([Mp[r:], np.zeros((r + R - Ap, Ap))]))
               for r in range(0, Ap, R)]
     del Mp
+    import sys
+    import time as _time
+
+    t0 = _time.time()
+    last_beat = [t0]
+    n_chunks = -(-ncols // C)
+
+    def _beat(chunk, block):
+        # heartbeat: the fold is the longest silent phase at w32+ (~1-2 h
+        # f64); the bench stall watchdog kills on log silence, so progress
+        # is reported at least once a minute regardless of tile shape
+        now = _time.time()
+        if now - last_beat[0] >= 60.0:
+            last_beat[0] = now
+            print(f"# fold chunk {chunk}/{n_chunks} block "
+                  f"{block}/{len(M_rows)} t={now - t0:.0f}s",
+                  file=sys.stderr, flush=True)
+
     buf = np.zeros((Ap, C), dtype=B.dtype)
     for s in range(0, ncols, C):
         w = min(C, ncols - s)
@@ -118,6 +136,7 @@ def _apply_square(M: np.ndarray, B: np.ndarray) -> np.ndarray:
             r1 = min(r0 + R, A)
             if r0 < A:
                 B[r0:r1, s:s + w] = out[: r1 - r0, :w]
+            _beat(s // C + 1, i + 1)
     return B
 
 

@@ -29,6 +29,56 @@ def _bsets(geom_scale=1.0):
             basis.build_auxiliary(mol, "cc-pVTZ-JKFIT", "6-31G"))
 
 
+def test_raw_3c_checkpoint_resumes_past_build(tmp_path, monkeypatch, capfd):
+    """A kill during the metric fold must not repeat the 3c build: the
+    unfolded tensor is checkpointed to disk before the fold (round-5: the
+    stall watchdog killed the first w32 fold and threw away a 3518s build)."""
+    import os
+
+    import juliachem_jl_tpu.models.linalg as linalg
+
+    bs = _bsets()
+    opts = SCFOptions()
+    opts.df_b_cache = str(tmp_path / "bc")
+    opts.df_b_dtype = "f32"
+
+    real_fold = linalg.fold_metric
+
+    def dying_fold(metric, B, **kw):
+        raise RuntimeError("simulated mid-fold kill")
+
+    monkeypatch.setattr(linalg, "fold_metric", dying_fold)
+    try:
+        build_B_packed(bs.primary, bs.auxiliary, opts)
+        assert False, "fold stub should have raised"
+    except RuntimeError:
+        pass
+    assert os.path.exists(opts.df_b_cache + "_raw.npy")
+    assert not os.path.exists(opts.df_b_cache + "_B.npy")
+
+    # resume: skips the 3c build (raw checkpoint hit), folds, writes the
+    # final cache, and drops the checkpoint
+    monkeypatch.setattr(linalg, "fold_metric", real_fold)
+    capfd.readouterr()
+    B1, s1 = build_B_packed(bs.primary, bs.auxiliary, opts)
+    assert "resuming from raw 3c checkpoint" in capfd.readouterr().err
+    assert not os.path.exists(opts.df_b_cache + "_raw.npy")
+    assert os.path.exists(opts.df_b_cache + "_B.npy")
+
+    # the resumed result matches an uncached build bit-for-bit
+    opts2 = SCFOptions()
+    opts2.df_b_dtype = "f32"
+    B2, s2 = build_B_packed(bs.primary, bs.auxiliary, opts2)
+    assert B1.dtype == np.float32
+    assert np.array_equal(np.asarray(B1), np.asarray(B2))
+    assert s1.npq == s2.npq
+
+    # a dtype flip must MISS the raw checkpoint (stale-precision reuse)
+    from juliachem_jl_tpu.models.df_screened import _load_raw_cache
+    assert _load_raw_cache(opts.df_b_cache, bs.primary, bs.auxiliary,
+                           False, np.float64, s1.npq + 1) is None
+
+
 def test_b_cache_roundtrip_and_fingerprint(tmp_path):
     bs = _bsets()
     opts = SCFOptions()
