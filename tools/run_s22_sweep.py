@@ -70,7 +70,8 @@ with warnings.catch_warnings():
     )
 res = rhf.energy(mol, bsets, {{"niter": 60, "dele": 1e-9, "rmsd": 1e-7,
                                "guess": "df", "df_niter": 30,
-                               "df_dele": 1e-7, "df_rmsd": 1e-5}})
+                               "df_dele": 1e-7, "df_rmsd": 1e-5,
+                               "df_b_cache": "{repo}/runs/s22_{imol:02d}"}})
 props = properties.run(
     mol, bsets, res,
     {{"mo energies": True, "mulliken": True, "multipole": "dipole"}})
@@ -106,7 +107,8 @@ with warnings.catch_warnings():
 # reaches rmsd 1e-10 in 17 iterations — energy error from rmsd r is
 # O(r^2), irrelevant at the golden tolerance.
 res = rhf.energy(mol, bsets, {{"scf_type": "df", "niter": 60, "dele": 1e-8,
-                               "rmsd": 5e-6, "guess": "sad"{extra}}})
+                               "rmsd": 5e-6, "guess": "sad",
+                               "df_b_cache": "{repo}/runs/s22_{imol:02d}"{extra}}})
 from juliachem_jl_tpu.utils.timings import JCTC
 _t = res["Timings"].timings
 print("RESULT:" + json.dumps({{
@@ -205,14 +207,27 @@ def main():
                 continue  # resume support
             tmpl = _DF if mode == "df" else (
                 _CONV_DFGUESS if df_guess else _CONV)
-            code = tmpl.format(ref=REF, imol=imol, extra="")
+            code = tmpl.format(ref=REF, repo=REPO, imol=imol, extra="")
             out = run_one(code, timeout=timeout)
+            cache_prefix = os.path.join(REPO, f"runs/s22_{imol:02d}")
+            if (mode == "df"
+                    and str(out.get("error", "")).startswith("timeout")
+                    and any(os.path.exists(cache_prefix + sfx)
+                            for sfx in ("_B.npy", "_raw.npy"))):
+                # the timed-out run checkpointed its B build (raw 3c tensor
+                # or folded B) — one immediate resume retry skips straight
+                # past the expensive phase instead of waiting for the next
+                # sweep invocation
+                out2 = run_one(code, timeout=timeout)
+                if "error" not in out2:
+                    out2["resumed_after_timeout"] = True
+                    out = out2
             if (mode == "df" and "error" not in out
                     and not out.get("converged")):
                 # non-convergence retry ladder: a modest virtual level
                 # shift rescues DIIS limit-cycles (S17-class failures)
                 out2 = run_one(tmpl.format(
-                    ref=REF, imol=imol, extra=', "level_shift": 0.25'),
+                    ref=REF, repo=REPO, imol=imol, extra=', "level_shift": 0.25'),
                     timeout=timeout)
                 if out2.get("converged"):
                     out = out2
@@ -247,6 +262,17 @@ def main():
                                    and abs(out["energy"] - g["Energy"]) <= 1.5e-3)
                 out["e_err_vs_golden"] = out["energy"] - g["Energy"]
             results[key][mode] = out
+            if all(results[key].get(m, {}).get("pass") for m in
+                   ("conv", "df")):
+                # the per-system B cache exists only to survive timeouts
+                # and to hand the conv sweep's DF guess a prebuilt B; once
+                # both goldens pass, reclaim the disk (~2-6 GB each)
+                for sfx in ("_B.npy", "_screen.npz", "_raw.npy",
+                            "_rawmeta.npz"):
+                    try:
+                        os.remove(cache_prefix + sfx)
+                    except OSError:
+                        pass
             # merge-on-write: a conv sweep (CPU fallback) and a df sweep
             # (TPU queue) may run concurrently; re-read so neither clobbers
             # the other's completed systems
