@@ -61,7 +61,9 @@ def run_system(n: int, data: dict) -> None:
     print(f"# {key}: nbf={bsets_conv.primary.nbf} naux={aux.nbf}",
           flush=True)
 
-    for mode, bsets in (("conv", bsets_conv), ("df", bsets_df)):
+    # DF first: it converges in minutes while conv can take hours — a
+    # timeout mid-conv still banks the DF record for the family evidence
+    for mode, bsets in (("df", bsets_df), ("conv", bsets_conv)):
         if rec.get(mode, {}).get("converged"):
             continue
         kw = dict(KW)
@@ -90,7 +92,40 @@ def run_system(n: int, data: dict) -> None:
               f"{'PASS' if rec['pass'] else 'FAIL'}", flush=True)
 
 
+def _other_instance() -> int | None:
+    """PID of another live run_gly.py process, if any.  Two concurrent
+    instances (a CPU-side run and the TPU queue's) would race on
+    GLY_RESULTS.json writes and redo each other's systems."""
+    skip = set()
+    pid = os.getpid()
+    while pid > 1:  # own ancestor chain (timeout/shell wrappers carry
+        skip.add(pid)  # the script name in their cmdline)
+        try:
+            with open(f"/proc/{pid}/status") as f:
+                pid = int(next(l for l in f
+                               if l.startswith("PPid:")).split()[1])
+        except (OSError, StopIteration, ValueError):
+            break
+    for entry in os.listdir("/proc"):
+        if not entry.isdigit() or int(entry) in skip:
+            continue
+        try:
+            with open(f"/proc/{entry}/cmdline", "rb") as f:
+                cmd = f.read().decode(errors="replace")
+        except OSError:
+            continue
+        if "run_gly.py" in cmd and "\x00/bin/bash\x00" not in cmd \
+                and not cmd.startswith("/bin/bash"):
+            return int(entry)
+    return None
+
+
 def main() -> int:
+    other = _other_instance()
+    if other is not None:
+        print(f"# run_gly: another instance (pid {other}) is active; "
+              "exiting to avoid racing on GLY_RESULTS.json", flush=True)
+        return 0
     ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1, 2, 3]
     data = _load()
     for n in ns:
