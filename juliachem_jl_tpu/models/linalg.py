@@ -41,12 +41,23 @@ def triangular_inverse(L: np.ndarray) -> np.ndarray:
     return Linv
 
 
-# compute ALWAYS in f64: the fold matrix carries cond(metric)^(1/2)
-# dynamic range, and an f32 matmul loses ~cond * eps_f32 — measured
-# 3e-3 Eh on S02, outside the DF gate.  f32 inputs/outputs only halve
-# the relay transfer bytes; the MXU sees f64.
+# f64 B: compute in f64 — the fold matrix carries cond(metric)^(1/2)
+# dynamic range, and a plain f32 matmul loses ~sqrt(cond) * eps_f32
+# (measured: 6.6e-4 Eh on 4 waters / 6-31+G* / cc-pVTZ-JKFIT, whose
+# metric cond is 1.9e11).
 _linv_matmul = jax.jit(
     lambda Li, X: (Li @ X.astype(Li.dtype)).astype(X.dtype))
+
+# f32 B: two-float (split) fold — M = M_hi + M_lo with both parts f32
+# represents the fold matrix to ~2^-46 relative, so the sqrt(cond)
+# operand amplification above vanishes; what remains is f32 ACCUMULATION
+# noise (~sqrt(A)*eps_f32 ~ 4e-6 relative on the output, not
+# cond-amplified).  Cost: two native-f32 MXU matmuls instead of ~20+
+# emulated-f64 passes — the w32 fold drops from ~90 min to minutes.
+_split_matmul = jax.jit(
+    lambda Mh, Ml, X: jax.lax.add(
+        jax.lax.dot(Mh, X, precision=jax.lax.Precision.HIGHEST),
+        jax.lax.dot(Ml, X, precision=jax.lax.Precision.HIGHEST)))
 
 
 def _fold_block_shape(Ap: int, budget: float = _FOLD_TEMP_BUDGET):
@@ -79,7 +90,22 @@ def apply_triangular_inverse(L: np.ndarray, B: np.ndarray) -> np.ndarray:
     off MXU speed (round-2: 109 s of B_time at w16); the matmul form runs at
     the emulated-f64 matmul rate with one small kernel.  Small systems stay
     entirely on host (dgemm beats the device round-trip below ~5e10 flops).
+
+    f32 B (the split-fold path in _apply_square): the raw L^{-1} carries
+    sqrt(cond(metric)) cancellation (JKFIT metrics on diffuse bases reach
+    cond ~1e11), which amplifies f32 accumulation noise to ~2e-4 Eh
+    (measured, 4 waters).  Jacobi row equilibration fixes it EXACTLY:
+    with d_i = ||L[i,:]|| = sqrt(J_ii), L = D Ls with Ls row-normalized,
+    so L^{-1} B = Ls^{-1} (D^{-1} B) — the diagonal part applies in exact
+    elementwise arithmetic and the matmul operand Ls^{-1} has the cond of
+    the Jacobi-scaled metric (van der Sluis: near-optimal among diagonal
+    scalings), orders of magnitude smaller.
     """
+    if B.dtype == np.float32:
+        d = np.sqrt(np.einsum("ij,ij->i", L, L))
+        Ls = L / d[:, None]
+        B *= (1.0 / d)[:, None].astype(np.float32)
+        return _apply_square(triangular_inverse(Ls), B)
     return _apply_square(triangular_inverse(L), B)
 
 
@@ -96,14 +122,41 @@ def _apply_square(M: np.ndarray, B: np.ndarray) -> np.ndarray:
         # host: f64 dgemm, downcast on assignment when B is f32
         B[...] = M @ B.astype(np.float64, copy=False)
         return B
+    import os
+
+    # JCHEM_SPLIT_FOLD=1 opts an f32 B into the two-float split fold
+    # (~10x faster at w32 than the emulated-f64 fold).  Off by default:
+    # f32 ACCUMULATION noise is ~sqrt(A)*eps_f32*||M_row|| regardless of
+    # operand splitting — measured on waters/6-31+G*/cc-pVTZ-JKFIT
+    # (Jacobi-equilibrated, vs the f64 fold): -1.1e-4 Eh at w4, -5.7e-4
+    # at w8 — a throughput option for w64-class feasibility runs, not for
+    # golden-gated energies (DF gate 1.5e-3 Eh).
+    split = (B.dtype == np.float32
+             and os.environ.get("JCHEM_SPLIT_FOLD", "0") == "1")
     Ap = -(-A // _ROW_BUCKET) * _ROW_BUCKET
-    R, C = _fold_block_shape(Ap)
+    if split:
+        # native-f32 tiles need ~1/10th the temp budget of emulated f64;
+        # larger tiles amortize the per-launch relay overhead
+        R, C = _fold_block_shape(Ap, budget=4.0 * _FOLD_TEMP_BUDGET)
+    else:
+        R, C = _fold_block_shape(Ap)
     # M row blocks stay device-resident across the whole fold (one h2d)
     Mp = np.zeros((Ap, Ap))
     Mp[:A, :A] = M
-    M_rows = [jnp.asarray(Mp[r:r + R]) if r + R <= Ap
-              else jnp.asarray(np.vstack([Mp[r:], np.zeros((r + R - Ap, Ap))]))
-              for r in range(0, Ap, R)]
+
+    def _rows(Mfull):
+        return [jnp.asarray(Mfull[r:r + R]) if r + R <= Ap
+                else jnp.asarray(np.vstack(
+                    [Mfull[r:], np.zeros((r + R - Ap, Ap),
+                                         dtype=Mfull.dtype)]))
+                for r in range(0, Ap, R)]
+
+    if split:
+        Mhi = Mp.astype(np.float32)
+        Mlo = (Mp - Mhi).astype(np.float32)
+        M_rows = list(zip(_rows(Mhi), _rows(Mlo)))
+    else:
+        M_rows = _rows(Mp)
     del Mp
     import sys
     import time as _time
@@ -131,7 +184,10 @@ def _apply_square(M: np.ndarray, B: np.ndarray) -> np.ndarray:
             buf[:, w:] = 0.0
         Xj = jnp.asarray(buf)
         for i, Mr in enumerate(M_rows):
-            out = np.asarray(_linv_matmul(Mr, Xj))
+            if split:
+                out = np.asarray(_split_matmul(Mr[0], Mr[1], Xj))
+            else:
+                out = np.asarray(_linv_matmul(Mr, Xj))
             r0 = i * R
             r1 = min(r0 + R, A)
             if r0 < A:

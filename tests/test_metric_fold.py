@@ -26,6 +26,40 @@ def test_healthy_metric_matches_cholesky():
     assert np.abs(B - ref).max() < 1e-12
 
 
+def test_f32_b_scaled_fold_hits_storage_floor():
+    """f32 B storage folds through the Jacobi-equilibrated f64 path:
+    with d_i = ||L[i,:]||, L^{-1}B = Ls^{-1}(D^{-1}B) exactly, and the
+    equilibrated operand keeps the error at the f32 OUTPUT quantization
+    floor (~6e-8 relative) even for cond ~1e11 metrics — plain f32
+    folding loses sqrt(cond)*eps_f32 instead (measured 6.6e-4 Eh on
+    4 waters)."""
+    from juliachem_jl_tpu.models import linalg as L
+
+    rng = np.random.default_rng(5)
+    n = 96
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    w = np.logspace(-11, 0, n)
+    M = (Q * w) @ Q.T
+    Lc = np.linalg.cholesky(M)
+    B0 = rng.standard_normal((n, 33))
+    ref = np.linalg.solve(Lc, B0)  # lower-triangular solve
+    for force_device in (False, True):
+        old = L._HOST_SOLVE_FLOPS
+        if force_device:
+            L._HOST_SOLVE_FLOPS = 0
+        try:
+            out = L.apply_triangular_inverse(Lc, B0.astype(np.float32))
+        finally:
+            L._HOST_SOLVE_FLOPS = old
+        rel = (np.linalg.norm(out.astype(np.float64) - ref)
+               / np.linalg.norm(ref))
+        assert rel < 5e-7, (force_device, rel)
+    # the f64 path is the pre-equilibration algebra (explicit inverse vs
+    # solve differ only at f64 roundoff, relative to the solution norm)
+    out64 = L.apply_triangular_inverse(Lc, B0.copy())
+    assert np.linalg.norm(out64 - ref) / np.linalg.norm(ref) < 1e-12
+
+
 def test_singular_metric_uses_pseudoinverse():
     rng = np.random.default_rng(11)
     V = rng.standard_normal((31, 31))
