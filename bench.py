@@ -249,6 +249,9 @@ def main():
             # of the same NW skip its most expensive phase entirely: cache
             # the folded B + screen on disk at EVERY size (VERDICT r4 #1)
             scf_flags["df_b_cache"] = f"runs/w{nw}_B"
+            # S/T/V cache: the OEI build is the dominant setup cost on a
+            # warm rerun (w32: 1166 s vs ~1 s load)
+            scf_flags["oei_cache"] = f"runs/w{nw}_B"
             # stop the SCF before an iteration that would blow the budget;
             # partial per-iteration timings still yield the headline mean
             scf_flags["wall_deadline"] = deadline - 60.0

@@ -438,7 +438,29 @@ def initial_state(mol, basis, opts: SCFOptions, timings: Timings, output: int = 
         print(f"# initial_state: building S/T/V (nbf={basis.nbf})",
               file=sys.stderr, flush=True)
     with timings.timed(JCTC.H_time):
-        S, T, V = overlap_kinetic_nuclear(basis, mol)
+        S = T = V = None
+        oei_cache = getattr(opts, "oei_cache", "") or ""
+        fp = system_fingerprint(mol, basis) if oei_cache else ""
+        if oei_cache:
+            try:
+                z = np.load(oei_cache + "_oei.npz")
+                if str(z["fingerprint"]) == fp \
+                        and z["S"].shape == (basis.nbf, basis.nbf):
+                    S, T, V = z["S"], z["T"], z["V"]
+                    import sys
+
+                    print(f"# initial_state: loaded cached S/T/V from "
+                          f"{oei_cache}_oei.npz", file=sys.stderr, flush=True)
+            except Exception:
+                S = None
+        if S is None:
+            S, T, V = overlap_kinetic_nuclear(basis, mol)
+            if oei_cache:
+                try:
+                    np.savez(oei_cache + "_oei.npz", S=S, T=T, V=V,
+                             fingerprint=fp)
+                except OSError:
+                    pass
     H = T + V
     S_cart = S
     if sph_T is not None:

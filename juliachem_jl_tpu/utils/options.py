@@ -52,6 +52,11 @@ class SCFOptions:
     # expensive phase.  Loaded via np.load(mmap_mode="r"), so stream mode
     # reads Q-blocks through the page cache without 2x host RAM.
     df_b_cache: str = ""
+    # disk cache prefix for the one-electron S/T/V matrices ({prefix}_oei
+    # .npz, geometry+basis fingerprint guarded).  The OEI build is the
+    # dominant setup cost on a resumed big run (w32: 1166 s of silent
+    # class staging through the relay vs a ~1 s npz load).
+    oei_cache: str = ""
     # packed-B storage/transfer precision: "f64" (default) or "f32".  f32
     # halves every B-sized relay transfer (the w64 bottleneck: d2h measured
     # 16 MB/s) and shifts the DF fixed point deterministically by ~1e-5 Eh
@@ -119,6 +124,7 @@ def create_scf_options(scf_flags: dict | None) -> SCFOptions:
     opts.num_devices = int(f.get(C.DeviceAlgorithms.num_devices, opts.num_devices))
     opts.ndiis = int(f.get(C.NDIIS, opts.ndiis))
     opts.df_b_cache = str(f.get("df_b_cache", opts.df_b_cache))
+    opts.oei_cache = str(f.get("oei_cache", opts.oei_cache))
     opts.df_b_dtype = str(f.get("df_b_dtype", opts.df_b_dtype))
     opts.df_spherical_aux = bool(f.get("df_spherical_aux",
                                        opts.df_spherical_aux))

@@ -79,6 +79,31 @@ def test_raw_3c_checkpoint_resumes_past_build(tmp_path, monkeypatch, capfd):
                            False, np.float64, s1.npq + 1) is None
 
 
+def test_oei_cache_roundtrip_and_fingerprint(tmp_path, capfd):
+    """S/T/V disk cache (models/scf.py::initial_state): the OEI build is
+    the dominant setup cost on a resumed big run (w32: 1166 s vs ~1 s
+    load); a geometry change must MISS."""
+    from juliachem_jl_tpu.models import rhf
+
+    mol = __import__("juliachem_jl_tpu").molecule.from_input_dict(WATER)
+    bs = _bsets()
+    kw = {"scf_type": "df", "niter": 30, "dele": 1e-8, "rmsd": 1e-6,
+          "guess": "sad", "oei_cache": str(tmp_path / "c")}
+    r1 = rhf.energy(mol, bs, kw)
+    capfd.readouterr()
+    r2 = rhf.energy(mol, bs, kw)
+    assert "loaded cached S/T/V" in capfd.readouterr().err
+    assert r1["Energy"] == r2["Energy"]
+    # different geometry, same cache prefix -> rebuild, not reuse
+    d = dict(WATER, geometry=[g * 1.05 for g in WATER["geometry"]])
+    mol2 = __import__("juliachem_jl_tpu").molecule.from_input_dict(d)
+    bs2 = _bsets(geom_scale=1.05)
+    capfd.readouterr()
+    r3 = rhf.energy(mol2, bs2, kw)
+    assert "loaded cached S/T/V" not in capfd.readouterr().err
+    assert abs(r3["Energy"] - r1["Energy"]) > 1e-6
+
+
 def test_b_cache_roundtrip_and_fingerprint(tmp_path):
     bs = _bsets()
     opts = SCFOptions()

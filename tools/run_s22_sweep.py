@@ -40,7 +40,8 @@ spec = io.read_input("{ref}/example_inputs/S22/{imol:02d}_MP2.json")
 mol = molecule.from_input_dict(spec.molecule)
 bsets = basis.run(mol, spec.model)
 res = rhf.energy(mol, bsets, {{"niter": 60, "dele": 1e-9, "rmsd": 1e-7,
-                               "guess": "sad"}})
+                               "guess": "sad",
+                               "oei_cache": "{repo}/runs/s22_{imol:02d}"}})
 props = properties.run(
     mol, bsets, res,
     {{"mo energies": True, "mulliken": True, "multipole": "dipole"}})
@@ -71,7 +72,8 @@ with warnings.catch_warnings():
 res = rhf.energy(mol, bsets, {{"niter": 60, "dele": 1e-9, "rmsd": 1e-7,
                                "guess": "df", "df_niter": 30,
                                "df_dele": 1e-7, "df_rmsd": 1e-5,
-                               "df_b_cache": "{repo}/runs/s22_{imol:02d}"}})
+                               "df_b_cache": "{repo}/runs/s22_{imol:02d}",
+                               "oei_cache": "{repo}/runs/s22_{imol:02d}"}})
 props = properties.run(
     mol, bsets, res,
     {{"mo energies": True, "mulliken": True, "multipole": "dipole"}})
@@ -108,7 +110,8 @@ with warnings.catch_warnings():
 # O(r^2), irrelevant at the golden tolerance.
 res = rhf.energy(mol, bsets, {{"scf_type": "df", "niter": 60, "dele": 1e-8,
                                "rmsd": 5e-6, "guess": "sad",
-                               "df_b_cache": "{repo}/runs/s22_{imol:02d}"{extra}}})
+                               "df_b_cache": "{repo}/runs/s22_{imol:02d}",
+                               "oei_cache": "{repo}/runs/s22_{imol:02d}"{extra}}})
 from juliachem_jl_tpu.utils.timings import JCTC
 _t = res["Timings"].timings
 print("RESULT:" + json.dumps({{
@@ -268,7 +271,7 @@ def main():
                 # and to hand the conv sweep's DF guess a prebuilt B; once
                 # both goldens pass, reclaim the disk (~2-6 GB each)
                 for sfx in ("_B.npy", "_screen.npz", "_raw.npy",
-                            "_rawmeta.npz"):
+                            "_rawmeta.npz", "_oei.npz"):
                     try:
                         os.remove(cache_prefix + sfx)
                     except OSError:
