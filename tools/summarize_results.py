@@ -71,14 +71,32 @@ def main():
 
     arpae = _load("ARPAE_RESULTS.json")
     if arpae:
-        lines += ["", "## ARPA-E fig1e (RHF/6-311++G(3df,3pd) C8O8H4 vs "
-                  "committed reference output -903.7991936826)", "",
-                  "```json", json.dumps(arpae, indent=1)[:1200], "```"]
+        npass = sum(1 for v in arpae.values()
+                    if isinstance(v, dict) and v.get("pass"))
+        lines += ["", f"## ARPA-E family ({npass}/{len(arpae)} figures pass "
+                  "— fig1e gated vs the committed reference output "
+                  "-903.7991936826; 6-31 figures are odd-electron radicals "
+                  "run as UHF doublets with DF-vs-conv parity)", "",
+                  "```json", json.dumps(arpae, indent=1)[:2000], "```"]
 
-    for name in ("BENCH_W64_DF.json", "BENCH_W32_DF.json",
-                 "BENCH_W16_R04.json", "MULTICHIP_r03.json"):
+    gly = _load("GLY_RESULTS.json")
+    if gly:
+        npass = sum(1 for v in gly.values()
+                    if isinstance(v, dict) and v.get("pass"))
+        lines += ["", f"## Glycine-chain family ({npass}/{len(gly)} systems "
+                  "pass the DF-vs-conventional 1.5e-3 Eh parity gate; "
+                  "cc-pVDZ with AutoAux RIFIT)", "",
+                  "```json", json.dumps(gly, indent=1)[:1500], "```"]
+
+    # headline bench artifacts, newest round first; only the ones that exist
+    for name in ("BENCH_W32_DF_R05.json", "BENCH_W16_R05.json",
+                 "BENCH_W64_R05.json", "BENCH_W64_DF.json",
+                 "BENCH_W16_R04.json", "MULTICHIP_r04.json",
+                 "MULTICHIP_r03.json"):
         art = _load(name)
         if art:
+            if "timings" in art:  # headline + config only; per-iteration
+                art = {k: v for k, v in art.items() if k != "timings"}
             lines += ["", f"## {name}", "", "```json",
                       json.dumps(art, indent=1)[:1500], "```"]
 
