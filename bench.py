@@ -179,7 +179,8 @@ def main():
     # the clock: NW downshift + SCF wall_deadline + cached B)
     budget = float(os.environ.get("JCHEM_BENCH_BUDGET_S", "1200"))
     deadline = t_start + budget
-    busy = _other_chip_users()
+    cpu_backend = os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    busy = [] if cpu_backend else _other_chip_users()
     while busy and time.time() < deadline - 600.0:
         print(f"# waiting for other chip users {busy} "
               "(single-tenant relay)", file=sys.stderr)
@@ -290,6 +291,13 @@ def main():
     iters = sorted(int(k[len(pref):]) for k in timings if k.startswith(pref))
     fock_times = {i: timings[f"{pref}{i}"] for i in iters}
     f32_iters = {i for i in iters if f"fock_f32-{i}" in timings}
+    # post-convergence timing reps are FULL builds dispatched back-to-back
+    # (no host DIIS/eigensolve interleave): on the async relay they absorb
+    # pipeline-drain latency and are a different quantity from the in-SCF
+    # steady iterations this metric has tracked since round 2 — exclude
+    # them from the headline, report their mean separately
+    rep_iters = {i for i in iters if f"fock_rep-{i}" in timings}
+    iters = [i for i in iters if i not in rep_iters]
     # drop iteration 1 (compile + B build amortization); report the f64
     # steady state as the headline (the mixed-precision f32 warm-up phase is
     # faster and would flatter a blended mean)
@@ -349,6 +357,10 @@ def main():
             "f32_phase_s_per_iter": (round(_steady_mean(f32_phase), 4)
                                      if f32_phase else None),
         }
+        if rep_iters:
+            out["full_fock_s_per_iter"] = round(_steady_mean(
+                [fock_times[i] for i in sorted(rep_iters)]), 4)
+            out["full_fock_reps"] = len(rep_iters)
     if scf_flags.get("df_b_dtype") == "f32":
         # B values stored f32 (transfer/fold halving); per-iteration J/K
         # algebra still promotes to f64 — deterministic ~1e-5 Eh shift

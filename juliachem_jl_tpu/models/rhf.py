@@ -177,6 +177,13 @@ def energy(mol, basis_sets, scf_flags: dict | None = None, output: int = 0) -> d
             with timings.timed(JCTC.fock_time, state.iteration + 1 + r):
                 np.asarray(fock_builder.two_electron_fock(
                     state.D, state.iteration + 1 + r, timings, C_occ))
+            # marker: these are FULL builds dispatched back-to-back — a
+            # different quantity from the in-SCF steady iterations (fdiff
+            # increments interleaved with host DIIS/eigensolve), and on
+            # the async relay they absorb pipeline-drain time.  Consumers
+            # must exclude them from the steady-state mean (bench.py
+            # reports them separately as full_fock_s_per_iter).
+            timings.record("fock_rep", 1.0, state.iteration + 1 + r)
     fock_builder.finalize()
     if state.debug is not None:
         state.debug.close()
