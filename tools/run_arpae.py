@@ -84,6 +84,7 @@ def run_fig1e(conv: bool, data: dict) -> None:
         "scf_type": "rhf" if conv else "df", "niter": 60,
         "dele": 1e-7, "rmsd": 2e-5, "guess": "sad",
         "df_b_cache": "runs/fig1e_B" if not conv else "",
+        "oei_cache": "runs/fig1e_B",
     })
     wall = time.time() - t0
     gate = 1.49e-8 * abs(GOLDEN_FIG1E) if conv else 1.5e-3
